@@ -1,0 +1,119 @@
+"""Central configuration for the TPU-native recommender framework.
+
+Mirrors the knob surface of the reference settings object
+(``/root/reference/src/config.py:6-38``: 22 fields, env override, singleton)
+but is a plain frozen dataclass so it can be hashed into ``jax.jit`` static
+arguments and carried through pure functions without pydantic runtime cost.
+
+Env-var override semantics match the reference (case-sensitive field names,
+optional ``.env`` file in the working directory).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+def _load_env_file(path: str = ".env") -> dict:
+    """Parse a minimal KEY=VALUE env file (reference: pydantic env_file)."""
+    out = {}
+    p = Path(path)
+    if not p.exists():
+        return out
+    for line in p.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        out[k.strip()] = v.strip().strip('"').strip("'")
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    # --- Storage / artifact paths (reference src/config.py:7-10) ---
+    REDIS_URL: str = "redis://localhost:6379"
+    INDEX_PATH: str = "models/mips.index.npz"
+    RANKER_MODEL_PATH: str = "models/ranker.msgpack"
+    EMBEDDING_MODEL_PATH: str = "models/two_tower.ckpt"
+
+    # --- Retrieval / ranking sizes (reference :11-13) ---
+    TOP_K_CANDIDATES: int = 500
+    TOP_K_RESULTS: int = 20
+    EMBEDDING_DIM: int = 64
+
+    # --- Data / service (reference :14-20) ---
+    DATA_DIR: str = "data/ml-1m"
+    LOG_LEVEL: str = "INFO"
+    API_HOST: str = "0.0.0.0"
+    API_PORT: int = 8000
+    MODEL_VERSION: str = "1.0.0"
+    CACHE_TTL_SECONDS: int = 300
+    FEATURE_CACHE_TTL_SECONDS: int = 3600
+
+    # --- Training (reference :21-26) ---
+    N_NEGATIVES: int = 4
+    TRAIN_EPOCHS: int = 10
+    BATCH_SIZE: int = 1024
+    LEARNING_RATE: float = 1e-3
+    WEIGHT_DECAY: float = 1e-5
+    GRAD_CLIP_NORM: float = 1.0
+    HIDDEN_DIM: int = 128
+    DROPOUT: float = 0.2
+    SEED: int = 0
+
+    # --- Ranker (replaces LightGBM knobs, reference :27-29) ---
+    RANKER_HIDDEN_DIMS: Tuple[int, ...] = (128, 64)
+    RANKER_EPOCHS: int = 40
+    RANKER_LEARNING_RATE: float = 3e-3
+    RANKER_GROUP_SIZE: int = 64          # padded query group length
+    RANKER_EVAL_AT: Tuple[int, ...] = (5, 10, 20)
+    RANKER_LABEL_GAIN: Tuple[float, ...] = (0.0, 1.0, 3.0, 7.0, 15.0)
+    RANKER_EARLY_STOP_ROUNDS: int = 5
+
+    # --- Skew detection (reference :30) ---
+    SKEW_KL_THRESHOLD: float = 0.1
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    MESH_DATA_AXIS: str = "data"
+    MESH_MODEL_AXIS: str = "model"
+    RETRIEVAL_BLOCK_ITEMS: int = 2048    # item block per streaming top-k step
+    RETRIEVAL_BLOCK_QUERIES: int = 256   # query tile for the MIPS kernel
+    USE_PALLAS: bool = True              # use fused kernels when on TPU
+    COMPUTE_DTYPE: str = "float32"       # 'bfloat16' on large configs
+
+    @classmethod
+    def from_env(cls, env_file: str = ".env", **overrides) -> "Settings":
+        """Build settings with env-var > env-file > default precedence."""
+        file_vals = _load_env_file(env_file)
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            raw: Optional[str] = os.environ.get(f.name, file_vals.get(f.name))
+            if raw is None:
+                continue
+            t = f.type if isinstance(f.type, type) else None
+            name = f.name
+            default = getattr(cls, name)
+            if isinstance(default, bool):
+                kwargs[name] = raw.lower() in ("1", "true", "yes", "on")
+            elif isinstance(default, int):
+                kwargs[name] = int(raw)
+            elif isinstance(default, float):
+                kwargs[name] = float(raw)
+            elif isinstance(default, tuple):
+                elem = type(default[0]) if default else float
+                kwargs[name] = tuple(elem(x) for x in raw.split(",") if x.strip())
+            else:
+                kwargs[name] = raw
+            del t
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+# Module-level singleton, like the reference's ``settings = Settings()``.
+settings = Settings.from_env()
