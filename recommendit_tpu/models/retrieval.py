@@ -1,0 +1,162 @@
+"""On-chip exact MIPS retrieval index.
+
+Replaces the reference FAISS IVFFlat wrapper (``src/models/faiss_index.py``)
+with a device-resident item matrix scanned exactly by the blocked MXU kernel
+(``recommendit_tpu.ops.topk``). Public surface parity: build (:45-82),
+search with query normalization + k capping + id mapping (:88-124),
+batch_search (:126-153), save/load with metadata (:159-205), stats (:211).
+
+The IVF recall knobs (n_lists/n_probe, reference :224) are intentionally
+gone: the full-corpus scan is exact, so recall == 1.0 by construction at
+higher QPS on TPU than an IVF probe on CPU. For corpora beyond one chip's
+HBM, the sharded variant in ``recommendit_tpu.parallel.retrieval`` splits
+rows across the mesh.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommendit_tpu.ops.topk import mips_topk
+
+logger = logging.getLogger(__name__)
+
+
+def _l2_normalize_np(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
+class MIPSIndex:
+    """Exact maximum-inner-product index over a device-resident corpus."""
+
+    def __init__(
+        self,
+        embedding_dim: int = 64,
+        block_size: int = 4096,
+        mode: str = "exact",
+    ):
+        self.embedding_dim = embedding_dim
+        self.block_size = block_size
+        self.mode = mode
+        self.item_ids: Optional[np.ndarray] = None       # (N,) int64
+        self._embs: Optional[jnp.ndarray] = None          # (N, D) on device
+        self._ids_dev: Optional[jnp.ndarray] = None
+
+    # ------------------------------------------------------------------ #
+    # Build                                                                #
+    # ------------------------------------------------------------------ #
+
+    def build(self, embeddings: np.ndarray, item_ids: np.ndarray) -> None:
+        """Normalize and place the catalog on device
+        (replaces IVF train+add, reference ``faiss_index.py:45-82``)."""
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.embedding_dim:
+            raise ValueError(
+                f"embeddings must be (N, {self.embedding_dim}), "
+                f"got {embeddings.shape}"
+            )
+        if len(item_ids) != len(embeddings):
+            raise ValueError("item_ids and embeddings length mismatch")
+        embs = _l2_normalize_np(np.asarray(embeddings, np.float32))
+        self.item_ids = np.asarray(item_ids, np.int64)
+        self._embs = jnp.asarray(embs)
+        self._ids_dev = jnp.asarray(self.item_ids, jnp.int32)
+        logger.info(
+            "Built exact MIPS index: %d items, dim %d", len(item_ids),
+            self.embedding_dim,
+        )
+
+    # alias matching the reference method name
+    build_ivf_index = build
+
+    @property
+    def n_total(self) -> int:
+        return 0 if self.item_ids is None else len(self.item_ids)
+
+    # ------------------------------------------------------------------ #
+    # Search                                                               #
+    # ------------------------------------------------------------------ #
+
+    def search(
+        self, query: np.ndarray, k: int = 500
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k for one query vector → (scores (k,), item_ids (k,))."""
+        scores, ids = self.batch_search(np.asarray(query).reshape(1, -1), k)
+        return scores[0], ids[0]
+
+    def batch_search(
+        self, queries: np.ndarray, k: int = 500
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k for (Q, D) queries → (scores (Q,k), item_ids (Q,k))."""
+        if self._embs is None:
+            raise RuntimeError("Index not built. Call build() first.")
+        k = min(k, self.n_total)
+        q = _l2_normalize_np(np.asarray(queries, np.float32))
+        vals, idx = mips_topk(
+            jnp.asarray(q), self._embs, k, self.block_size, self.mode
+        )
+        ids = np.asarray(jnp.take(self._ids_dev, idx))
+        return np.asarray(vals), ids.astype(np.int64)
+
+    def search_device(self, queries: jnp.ndarray, k: int):
+        """Device-to-device search (no host transfer) for jitted serving:
+        returns (scores, item_ids) as jnp arrays."""
+        vals, idx = mips_topk(queries, self._embs, k, self.block_size, self.mode)
+        return vals, jnp.take(self._ids_dev, idx)
+
+    # ------------------------------------------------------------------ #
+    # Persistence                                                          #
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str) -> None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            p,
+            embeddings=np.asarray(self._embs),
+            item_ids=self.item_ids,
+        )
+        meta = {
+            "embedding_dim": self.embedding_dim,
+            "block_size": self.block_size,
+            "mode": self.mode,
+            "n_total": self.n_total,
+        }
+        Path(str(p) + ".meta.json").write_text(json.dumps(meta))
+        logger.info("Saved MIPS index to %s", p)
+
+    @classmethod
+    def load(cls, path: str) -> "MIPSIndex":
+        p = Path(path)
+        if not p.exists():
+            raise FileNotFoundError(f"Index not found: {p}")
+        meta = json.loads(Path(str(p) + ".meta.json").read_text())
+        idx = cls(
+            embedding_dim=meta["embedding_dim"],
+            block_size=meta["block_size"],
+            mode=meta["mode"],
+        )
+        with np.load(p) as data:
+            idx.build(data["embeddings"], data["item_ids"])
+        return idx
+
+    # ------------------------------------------------------------------ #
+    # Introspection                                                        #
+    # ------------------------------------------------------------------ #
+
+    def stats(self) -> dict:
+        return {
+            "index_type": "exact-mips",
+            "n_total": self.n_total,
+            "embedding_dim": self.embedding_dim,
+            "block_size": self.block_size,
+            "mode": self.mode,
+            "recall": 1.0 if self.mode == "exact" else None,
+        }

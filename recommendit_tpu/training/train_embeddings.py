@@ -1,0 +1,237 @@
+"""Two-tower embedding training — scan-based epochs on device.
+
+Capability parity with the reference trainer
+(``src/training/train_embeddings.py``): positives = ratings >= 4 (:43),
+Adam + weight decay 1e-5 (:160), cosine LR schedule (:161), grad-clip 1.0
+(:191), per-epoch best-loss checkpointing (:208-211), post-train catalog
+embedding precompute (:213-220).
+
+TPU-first design differences:
+* The whole epoch is one jitted ``lax.scan`` over batches — no Python
+  per-batch loop, no DataLoader processes; batches are a device-resident
+  (n_batches, B) index array.
+* Default loss is the fused in-batch BPR (every other in-batch item is a
+  negative) rather than 1 rejection-sampled negative per positive — far
+  higher effective negative count per FLOP on the MXU. ``loss_mode=
+  'pairwise'`` reproduces the reference's explicit-negative objective with
+  vectorized uniform negatives resampled per epoch.
+* Full train state (params + opt state) checkpoints via Orbax → true
+  resume (the reference cannot resume mid-training).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recommendit_tpu.config import Settings, settings as default_settings
+from recommendit_tpu.data.movielens import MovieLensData
+from recommendit_tpu.features.schema import encode_genres_matrix
+from recommendit_tpu.models.two_tower import (
+    TwoTowerModel,
+    init_params,
+    item_tower,
+    user_tower,
+)
+from recommendit_tpu.ops.bpr import (
+    in_batch_bpr_loss_xla,
+    in_batch_bpr_pallas,
+    pairwise_bpr_loss,
+)
+from recommendit_tpu.utils.checkpoint import save_train_state
+
+logger = logging.getLogger(__name__)
+
+
+def build_genre_table(movies_df, n_items: int) -> np.ndarray:
+    """(n_items+1, 18) genre multi-hot lookup, row 0 = padding."""
+    table = np.zeros((n_items + 1, 18), dtype=np.float32)
+    ids = movies_df["item_id"].values.astype(np.int64)
+    mat = encode_genres_matrix(movies_df["genres"].values)
+    ok = (ids >= 1) & (ids <= n_items)
+    table[ids[ok]] = mat[ok]
+    return table
+
+
+class EmbeddingTrainer:
+    """Trains the two-tower model on (user, positive-item) interactions."""
+
+    def __init__(
+        self,
+        data: MovieLensData,
+        cfg: Optional[Settings] = None,
+        loss_mode: str = "in_batch",
+        model_output_path: Optional[str] = None,
+        ckpt_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg or default_settings
+        self.data = data
+        self.loss_mode = loss_mode
+        self.model_output_path = model_output_path or self.cfg.EMBEDDING_MODEL_PATH
+        self.ckpt_dir = ckpt_dir
+        self.history: List[Dict] = []
+
+        self.n_users = data.n_users
+        self.n_items = data.n_items
+        r = data.ratings
+        pos = r[r["rating"] >= 4]
+        self.pos_users = pos["user_id"].values.astype(np.int32)
+        self.pos_items = pos["item_id"].values.astype(np.int32)
+        self.genre_table = build_genre_table(data.movies, self.n_items)
+        # rated set for pairwise rejection sampling, as a bitmask table
+        self._rated = np.zeros((self.n_users + 1, self.n_items + 1), dtype=bool) \
+            if (self.n_users + 1) * (self.n_items + 1) <= 5e7 else None
+        if self._rated is not None:
+            self._rated[r["user_id"].values, r["item_id"].values] = True
+        logger.info(
+            "Trainer: %d positives, %d users, %d items, loss=%s",
+            len(self.pos_users), self.n_users, self.n_items, loss_mode,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _make_step(self, tx, use_pallas: bool, genre_table):
+        cfg = self.cfg
+        loss_mode = self.loss_mode
+
+        def loss_fn(params, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            u_ids, i_ids, n_ids = batch
+            ue = user_tower(params, u_ids, cfg.DROPOUT, k1)
+            ie = item_tower(
+                params, i_ids, jnp.take(genre_table, i_ids, axis=0),
+                cfg.DROPOUT, k2,
+            )
+            if loss_mode == "pairwise":
+                ne = item_tower(
+                    params, n_ids, jnp.take(genre_table, n_ids, axis=0),
+                    cfg.DROPOUT, k2,
+                )
+                return pairwise_bpr_loss(ue, ie, ne)
+            if use_pallas:
+                return in_batch_bpr_pallas(ue, ie)
+            return in_batch_bpr_loss_xla(ue, ie)
+
+        def epoch_fn(params, opt_state, batches, rng):
+            def step(carry, batch):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, sub)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), batches
+            )
+            return params, opt_state, rng, jnp.mean(losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _epoch_batches(self, rng: np.random.Generator, batch_size: int):
+        """Shuffle positives, drop remainder, optionally sample negatives."""
+        n = len(self.pos_users)
+        perm = rng.permutation(n)
+        n_batches = n // batch_size
+        take = n_batches * batch_size
+        u = self.pos_users[perm[:take]].reshape(n_batches, batch_size)
+        i = self.pos_items[perm[:take]].reshape(n_batches, batch_size)
+        if self.loss_mode == "pairwise":
+            neg = rng.integers(1, self.n_items + 1, size=(n_batches, batch_size))
+            if self._rated is not None:
+                for _ in range(4):  # a few rejection rounds suffice
+                    bad = self._rated[u, neg]
+                    if not bad.any():
+                        break
+                    neg[bad] = rng.integers(1, self.n_items + 1, size=int(bad.sum()))
+            neg = neg.astype(np.int32)
+        else:
+            neg = np.zeros_like(u)
+        return u, i, neg
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, epochs: Optional[int] = None) -> TwoTowerModel:
+        cfg = self.cfg
+        epochs = epochs or cfg.TRAIN_EPOCHS
+        batch_size = min(cfg.BATCH_SIZE, max(8, len(self.pos_users) // 2))
+        n_batches = max(1, len(self.pos_users) // batch_size)
+        use_pallas = cfg.USE_PALLAS and jax.devices()[0].platform == "tpu"
+
+        params = init_params(
+            jax.random.PRNGKey(cfg.SEED), self.n_users, self.n_items,
+            cfg.EMBEDDING_DIM, cfg.HIDDEN_DIM,
+        )
+        schedule = optax.cosine_decay_schedule(
+            cfg.LEARNING_RATE, decay_steps=max(1, epochs * n_batches)
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.GRAD_CLIP_NORM),
+            optax.adamw(schedule, weight_decay=cfg.WEIGHT_DECAY),
+        )
+        opt_state = tx.init(params)
+        genre_table = jnp.asarray(self.genre_table)
+        epoch_fn = self._make_step(tx, use_pallas, genre_table)
+
+        host_rng = np.random.default_rng(cfg.SEED)
+        rng = jax.random.PRNGKey(cfg.SEED + 1)
+        best_loss = float("inf")
+        best_params = params
+        total_examples = 0
+        t_train = time.time()
+
+        logger.info(
+            "Training: %d epochs x %d batches x %d batch (%s, pallas=%s)",
+            epochs, n_batches, batch_size, self.loss_mode, use_pallas,
+        )
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            u, i, neg = self._epoch_batches(host_rng, batch_size)
+            batches = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(neg))
+            params, opt_state, rng, loss = epoch_fn(params, opt_state, batches, rng)
+            loss = float(loss)
+            dt = time.time() - t0
+            n_ex = u.size
+            total_examples += n_ex
+            self.history.append(
+                {"epoch": epoch, "loss": loss, "seconds": dt,
+                 "examples_per_s": n_ex / dt}
+            )
+            logger.info(
+                "epoch %d/%d | loss %.4f | %.2fs | %.0f ex/s",
+                epoch, epochs, loss, dt, n_ex / dt,
+            )
+            if loss < best_loss:
+                best_loss = loss
+                best_params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+                if self.ckpt_dir:
+                    save_train_state(
+                        str(Path(self.ckpt_dir) / "best"),
+                        {"params": params, "opt_state": opt_state,
+                         "epoch": jnp.asarray(epoch), "loss": jnp.asarray(loss)},
+                    )
+
+        elapsed = time.time() - t_train
+        self.examples_per_s = total_examples / elapsed
+        logger.info(
+            "Training done in %.1fs (best loss %.4f, %.0f examples/s)",
+            elapsed, best_loss, self.examples_per_s,
+        )
+
+        model = TwoTowerModel(
+            n_users=self.n_users, n_items=self.n_items,
+            embed_dim=cfg.EMBEDDING_DIM, hidden_dim=cfg.HIDDEN_DIM,
+            dropout=cfg.DROPOUT, params=best_params,
+        )
+        item_ids = np.arange(1, self.n_items + 1, dtype=np.int32)
+        model.precompute_item_embeddings(item_ids, self.genre_table[1:])
+        if self.model_output_path:
+            model.save(self.model_output_path)
+        return model

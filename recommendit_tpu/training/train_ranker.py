@@ -1,0 +1,117 @@
+"""Ranker training stage.
+
+Parity with the reference ``RankerTrainer`` (``src/training/train_ranker.py``):
+load-or-compute features (:62-73), build query-grouped pairs (:76-79),
+interaction features (:82-86), train with a validation set (:112-125),
+holdout per-query NDCG@10/20 + Recall@20 (:139-175), save + top-10 feature
+importance log (:131-135).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from recommendit_tpu.config import Settings, settings as default_settings
+from recommendit_tpu.data.movielens import MovieLensData
+from recommendit_tpu.evaluation.metrics import ndcg_at_k, recall_at_k
+from recommendit_tpu.features.engineering import FeatureEngineer
+from recommendit_tpu.features.schema import feature_columns
+from recommendit_tpu.models.ranker import LambdaRankScorer
+
+logger = logging.getLogger(__name__)
+
+
+class RankerTrainer:
+    def __init__(
+        self,
+        data: MovieLensData,
+        cfg: Optional[Settings] = None,
+        feature_engineer: Optional[FeatureEngineer] = None,
+        ranker_output_path: Optional[str] = None,
+        features_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg or default_settings
+        self.data = data
+        self.fe = feature_engineer
+        self.ranker_output_path = ranker_output_path or self.cfg.RANKER_MODEL_PATH
+        self.features_dir = features_dir
+        self.holdout_metrics: Dict[str, float] = {}
+
+    def run(self) -> LambdaRankScorer:
+        cfg = self.cfg
+        fe = self.fe
+        if fe is None:
+            fe = FeatureEngineer(seed=cfg.SEED)
+            fe.set_data(self.data)
+        if fe.user_features is None or fe.item_features is None:
+            if self.features_dir:
+                fe.load_features(self.features_dir)
+            if fe.user_features is None or fe.item_features is None:
+                fe.build_user_features()
+                fe.build_item_features()
+
+        train_pairs, test_pairs = fe.build_training_pairs(
+            n_negatives=cfg.N_NEGATIVES, seed=cfg.SEED
+        )
+        train_feats = fe.build_interaction_features(train_pairs)
+        test_feats = fe.build_interaction_features(test_pairs)
+
+        cols = feature_columns()
+        for df in (train_feats, test_feats):
+            df.sort_values("query_id", inplace=True)
+            df.dropna(subset=cols, inplace=True)
+
+        # split train into train/valid by query for early stopping
+        queries = train_feats["query_id"].unique()
+        rng = np.random.default_rng(cfg.SEED)
+        rng.shuffle(queries)
+        n_valid = max(1, len(queries) // 10)
+        valid_q = set(queries[:n_valid])
+        valid_df = train_feats[train_feats["query_id"].isin(valid_q)]
+        fit_df = train_feats[~train_feats["query_id"].isin(valid_q)]
+
+        ranker = LambdaRankScorer(
+            hidden_dims=cfg.RANKER_HIDDEN_DIMS,
+            learning_rate=cfg.RANKER_LEARNING_RATE,
+            epochs=cfg.RANKER_EPOCHS,
+            group_size=cfg.RANKER_GROUP_SIZE,
+            label_gain=cfg.RANKER_LABEL_GAIN,
+            eval_at=cfg.RANKER_EVAL_AT,
+            early_stop_rounds=cfg.RANKER_EARLY_STOP_ROUNDS,
+            seed=cfg.SEED,
+        )
+        ranker.train(fit_df, cols, valid_df=valid_df)
+
+        self.holdout_metrics = self._evaluate_holdout(ranker, test_feats, cols)
+        logger.info("Holdout: %s", self.holdout_metrics)
+
+        ranker.save(self.ranker_output_path)
+        for feat, imp in ranker.top_features(10):
+            logger.info("importance | %-28s %.5f", feat, imp)
+        return ranker
+
+    def _evaluate_holdout(self, ranker, test_feats: pd.DataFrame, cols):
+        """Per-query NDCG@10/20 + Recall@20 on the held-out queries
+        (reference ``train_ranker.py:139-175``)."""
+        scores = ranker.predict(test_feats)
+        df = test_feats[["query_id", "item_id", "label"]].copy()
+        df["score"] = scores
+
+        ndcg10, ndcg20, rec20 = [], [], []
+        for _, g in df.groupby("query_id"):
+            ranked = g.sort_values("score", ascending=False)["item_id"].tolist()
+            relevant = g[g["label"] == 1]["item_id"].tolist()
+            if not relevant:
+                continue
+            ndcg10.append(ndcg_at_k(ranked, relevant, 10))
+            ndcg20.append(ndcg_at_k(ranked, relevant, 20))
+            rec20.append(recall_at_k(ranked, relevant, 20))
+        return {
+            "ndcg@10": float(np.mean(ndcg10)) if ndcg10 else 0.0,
+            "ndcg@20": float(np.mean(ndcg20)) if ndcg20 else 0.0,
+            "recall@20": float(np.mean(rec20)) if rec20 else 0.0,
+            "n_queries": len(ndcg10),
+        }

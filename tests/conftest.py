@@ -15,6 +15,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment may pre-import jax with a TPU platform plugin via
+# sitecustomize before conftest runs — in that case the env vars above are
+# too late and we must go through jax.config before any backend init.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.devices()[0].platform
+)
+
 import numpy as np
 import pandas as pd
 import pytest

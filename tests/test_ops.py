@@ -1,0 +1,132 @@
+"""Kernel correctness tests: Pallas/XLA BPR vs a literal python-loop
+reference, blocked MIPS top-k vs numpy argsort."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommendit_tpu.ops.bpr import (
+    in_batch_bpr_loss_xla,
+    in_batch_bpr_pallas,
+    pairwise_bpr_loss,
+)
+from recommendit_tpu.ops.topk import mips_topk, mips_topk_dense, mips_topk_numpy
+
+
+def _loop_in_batch_bpr(u, v):
+    """Literal per-row loop, mirroring the reference semantics
+    (two_tower.py:132-160)."""
+    s = np.asarray(u, np.float64) @ np.asarray(v, np.float64).T
+    b = s.shape[0]
+    total = 0.0
+    for i in range(b):
+        margins = s[i, i] - np.delete(s[i], i)
+        total += np.mean(np.log1p(np.exp(-margins)))
+    return total / b
+
+
+class TestBPR:
+    @pytest.fixture
+    def embs(self):
+        rng = np.random.default_rng(1)
+        u = rng.normal(size=(48, 32)).astype(np.float32)
+        v = rng.normal(size=(48, 32)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return jnp.asarray(u), jnp.asarray(v)
+
+    def test_xla_matches_loop(self, embs):
+        u, v = embs
+        assert float(in_batch_bpr_loss_xla(u, v)) == pytest.approx(
+            _loop_in_batch_bpr(u, v), abs=1e-5
+        )
+
+    def test_pallas_matches_xla(self, embs):
+        u, v = embs
+        x = float(in_batch_bpr_loss_xla(u, v))
+        p = float(in_batch_bpr_pallas(u, v, 16, True))  # interpret mode on CPU
+        assert p == pytest.approx(x, abs=1e-5)
+
+    def test_pallas_grad_matches_xla(self, embs):
+        u, v = embs
+        gx = jax.grad(in_batch_bpr_loss_xla, argnums=(0, 1))(u, v)
+        gp = jax.grad(
+            lambda a, b: in_batch_bpr_pallas(a, b, 16, True), argnums=(0, 1)
+        )(u, v)
+        np.testing.assert_allclose(gx[0], gp[0], atol=1e-5)
+        np.testing.assert_allclose(gx[1], gp[1], atol=1e-5)
+
+    def test_pallas_grad_numerical(self, embs):
+        """Finite-difference check of the closed-form backward."""
+        u, v = embs
+        u, v = u[:8], v[:8]
+        f = lambda a: in_batch_bpr_pallas(a, v, 8, True)  # noqa: E731
+        g = jax.grad(f)(u)
+        eps = 1e-3
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            i, j = rng.integers(0, 8), rng.integers(0, 32)
+            up = u.at[i, j].add(eps)
+            um = u.at[i, j].add(-eps)
+            fd = (float(f(up)) - float(f(um))) / (2 * eps)
+            assert float(g[i, j]) == pytest.approx(fd, abs=2e-3)
+
+    def test_pairwise_loss_positive_and_ordering(self, embs):
+        u, v = embs
+        neg = jnp.roll(v, 1, axis=0)
+        loss = float(pairwise_bpr_loss(u, v, neg))
+        assert loss > 0
+        # perfectly aligned positives, orthogonal-ish negatives → lower loss
+        aligned = float(pairwise_bpr_loss(u, u, -u))
+        assert aligned < loss
+
+    def test_uneven_block_tail(self):
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.normal(size=(20, 8)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(20, 8)), jnp.float32)
+        x = float(in_batch_bpr_loss_xla(u, v))
+        p = float(in_batch_bpr_pallas(u, v, 16, True))  # 20 = 16 + 4 tail
+        assert p == pytest.approx(x, abs=1e-5)
+
+
+class TestMIPSTopK:
+    @pytest.fixture
+    def data(self):
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(16, 24)).astype(np.float32)
+        items = rng.normal(size=(777, 24)).astype(np.float32)
+        return jnp.asarray(q), jnp.asarray(items)
+
+    def test_dense_matches_numpy(self, data):
+        q, items = data
+        v, i = mips_topk_dense(q, items, 10)
+        vn, _ = mips_topk_numpy(q, items, 10)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+
+    @pytest.mark.parametrize("block", [64, 100, 777, 1024])
+    def test_blocked_matches_numpy(self, data, block):
+        q, items = data
+        v, i = mips_topk(q, items, 50, block)
+        vn, idxn = mips_topk_numpy(q, items, 50)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_sorted_descending(self, data):
+        q, items = data
+        v, _ = mips_topk(q, items, 30, 128)
+        v = np.asarray(v)
+        assert (np.diff(v, axis=1) <= 1e-6).all()
+
+    def test_k_larger_than_corpus_raises(self, data):
+        q, items = data
+        with pytest.raises(ValueError):
+            mips_topk(q, items, 1000, 128)
+
+    def test_self_retrieval(self):
+        """Each item's own vector must retrieve itself first
+        (reference test strategy, tests/test_models.py:189-196)."""
+        rng = np.random.default_rng(4)
+        items = rng.normal(size=(200, 16)).astype(np.float32)
+        items /= np.linalg.norm(items, axis=1, keepdims=True)
+        v, i = mips_topk(jnp.asarray(items[:10]), jnp.asarray(items), 1, 64)
+        np.testing.assert_array_equal(np.asarray(i).ravel(), np.arange(10))

@@ -1,0 +1,162 @@
+"""Ranker tests (strategy mirrors reference tests/test_models.py:253-364:
+synthetic query-grouped data, train/predict/importance/save-load/
+untrained-raises), plus LambdaRank loss unit properties."""
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from recommendit_tpu.models.ranker import (
+    LambdaRankScorer,
+    group_ndcg_at_k,
+    lambdarank_loss,
+    pack_groups,
+)
+
+
+def make_ranker_data(n_queries=40, group=30, n_features=10, seed=0):
+    """Synthetic LTR data where the label depends on a known feature mix
+    (reference _make_ranker_data, tests/test_models.py:253-273)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for q in range(n_queries):
+        X = rng.normal(size=(group, n_features)).astype(np.float32)
+        relevance = X[:, 0] * 2.0 + X[:, 1] - 0.5 * X[:, 2]
+        thresh = np.quantile(relevance, 0.8)
+        label = (relevance >= thresh).astype(np.int64)
+        for i in range(group):
+            row = {f"f{j}": X[i, j] for j in range(n_features)}
+            row.update({"label": label[i], "query_id": q, "item_id": q * group + i})
+            rows.append(row)
+    return pd.DataFrame(rows)
+
+
+FEATURES = [f"f{j}" for j in range(10)]
+
+
+class TestLambdaRankLoss:
+    def test_perfect_ranking_lower_loss(self):
+        gains = jnp.asarray([3.0, 1.0, 0.0, 0.0])
+        mask = jnp.ones(4)
+        good = lambdarank_loss(jnp.asarray([3.0, 2.0, 1.0, 0.0]), gains, mask)
+        bad = lambdarank_loss(jnp.asarray([0.0, 1.0, 2.0, 3.0]), gains, mask)
+        assert float(good) < float(bad)
+
+    def test_mask_ignores_padding(self):
+        gains = jnp.asarray([1.0, 0.0, 5.0, 5.0])
+        scores = jnp.asarray([2.0, 1.0, -3.0, 7.0])
+        mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        l1 = lambdarank_loss(scores, gains, mask)
+        # padding values must not matter
+        l2 = lambdarank_loss(
+            jnp.asarray([2.0, 1.0, 100.0, -100.0]),
+            jnp.asarray([1.0, 0.0, 2.0, 0.0]),
+            mask,
+        )
+        assert float(l1) == pytest.approx(float(l2), abs=1e-6)
+
+    def test_no_valid_pairs_zero(self):
+        gains = jnp.zeros(4)
+        loss = lambdarank_loss(jnp.asarray([1.0, 2.0, 3.0, 4.0]), gains,
+                               jnp.ones(4))
+        assert float(loss) == 0.0
+
+    def test_group_ndcg(self):
+        gains = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        mask = jnp.ones(4)
+        perfect, valid = group_ndcg_at_k(
+            jnp.asarray([4.0, 3.0, 2.0, 1.0]), gains, mask, 4
+        )
+        assert bool(valid) and float(perfect) == pytest.approx(1.0)
+
+
+class TestPackGroups:
+    def test_shapes_and_masks(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(100, 5)).astype(np.float32)
+        y = rng.integers(0, 2, size=100)
+        q = np.repeat(np.arange(10), 10)
+        xs, gs, ms = pack_groups(X, y, q, group_size=16)
+        assert xs.shape == (10, 16, 5)
+        assert (ms.sum(axis=1) == 10).all()
+
+    def test_long_query_chunked(self):
+        X = np.zeros((50, 3), np.float32)
+        y = np.zeros(50, np.int64)
+        q = np.zeros(50, np.int64)
+        xs, gs, ms = pack_groups(X, y, q, group_size=16)
+        assert len(xs) == 4  # 16+16+16+2
+        assert ms.sum() == 50
+
+    def test_label_gain_applied(self):
+        X = np.zeros((3, 2), np.float32)
+        y = np.asarray([0, 1, 4])
+        q = np.zeros(3, np.int64)
+        _, gs, _ = pack_groups(X, y, q, group_size=4,
+                               label_gain=(0, 1, 3, 7, 15))
+        assert sorted(gs[0][:3].tolist()) == [0.0, 1.0, 15.0]
+
+
+class TestLambdaRankScorer:
+    @pytest.fixture(scope="class")
+    def trained(self):
+        df = make_ranker_data()
+        valid = make_ranker_data(n_queries=10, seed=1)
+        r = LambdaRankScorer(hidden_dims=(32, 16), epochs=15, group_size=32,
+                             learning_rate=1e-2, seed=0)
+        r.train(df, FEATURES, valid_df=valid, verbose_eval=100)
+        return r, df
+
+    def test_learns_ranking(self, trained):
+        """Scores must rank relevant items above irrelevant within queries."""
+        r, df = trained
+        test = make_ranker_data(n_queries=10, seed=9)
+        scores = r.predict(test)
+        test = test.copy()
+        test["score"] = scores
+        ndcgs = []
+        from recommendit_tpu.evaluation.metrics import ndcg_at_k
+
+        for _, g in test.groupby("query_id"):
+            ranked = g.sort_values("score", ascending=False)["item_id"].tolist()
+            rel = g[g["label"] == 1]["item_id"].tolist()
+            ndcgs.append(ndcg_at_k(ranked, rel, 10))
+        assert np.mean(ndcgs) > 0.6  # random ≈ 0.25 on this data
+
+    def test_predict_shape(self, trained):
+        r, df = trained
+        assert r.predict(df.head(17)).shape == (17,)
+
+    def test_feature_importance_finds_signal(self, trained):
+        r, _ = trained
+        imp = r.feature_importance()
+        assert set(imp.keys()) == set(FEATURES)
+        top = [f for f, _ in r.top_features(3)]
+        assert "f0" in top  # strongest synthetic signal
+
+    def test_save_load_predict_identity(self, trained, tmp_path):
+        r, df = trained
+        p = str(tmp_path / "ranker.npz")
+        r.save(p)
+        r2 = LambdaRankScorer.load(p)
+        np.testing.assert_allclose(
+            r.predict(df.head(50)), r2.predict(df.head(50)), atol=1e-6
+        )
+        assert r2.feature_names == r.feature_names
+
+    def test_untrained_raises(self):
+        with pytest.raises(RuntimeError):
+            LambdaRankScorer().predict(np.zeros((3, 5)))
+        with pytest.raises(FileNotFoundError):
+            LambdaRankScorer.load("/nonexistent/ranker.npz")
+
+    def test_model_info(self, trained):
+        r, _ = trained
+        info = r.model_info()
+        assert info["trained"] and info["n_features"] == 10
+        assert len(info["top_features"]) == 10
+
+    def test_early_stopping_recorded(self, trained):
+        r, _ = trained
+        assert r.best_iteration >= 1
+        assert len(r.evals_result["valid_ndcg@10"]) >= r.best_iteration
