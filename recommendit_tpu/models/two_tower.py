@@ -85,6 +85,33 @@ def _mlp(x, w1, b1, w2, b2, dropout_rate: float, rng: Optional[jax.Array]):
     return h @ w2 + b2
 
 
+def user_tower_from_embed(
+    params: Params,
+    emb: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """MLP head over pre-gathered user embedding rows (used by the sharded
+    lookup path in ``recommendit_tpu.parallel``)."""
+    out = _mlp(emb, params["user_w1"], params["user_b1"],
+               params["user_w2"], params["user_b2"], dropout_rate, rng)
+    return l2_normalize(out)
+
+
+def item_tower_from_embed(
+    params: Params,
+    emb: jnp.ndarray,
+    genre_vecs: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """MLP head over pre-gathered item embedding rows ⊕ genre vector."""
+    x = jnp.concatenate([emb, genre_vecs.astype(emb.dtype)], axis=-1)
+    out = _mlp(x, params["item_w1"], params["item_b1"],
+               params["item_w2"], params["item_b2"], dropout_rate, rng)
+    return l2_normalize(out)
+
+
 def user_tower(
     params: Params,
     user_ids: jnp.ndarray,
@@ -93,9 +120,7 @@ def user_tower(
 ) -> jnp.ndarray:
     """(B,) int ids → (B, D) L2-normalized user embeddings."""
     emb = jnp.take(params["user_embed"], user_ids, axis=0)
-    out = _mlp(emb, params["user_w1"], params["user_b1"],
-               params["user_w2"], params["user_b2"], dropout_rate, rng)
-    return l2_normalize(out)
+    return user_tower_from_embed(params, emb, dropout_rate, rng)
 
 
 def item_tower(
@@ -107,10 +132,7 @@ def item_tower(
 ) -> jnp.ndarray:
     """(B,) int ids + (B, 18) genre multi-hot → (B, D) normalized embeddings."""
     emb = jnp.take(params["item_embed"], item_ids, axis=0)
-    x = jnp.concatenate([emb, genre_vecs.astype(emb.dtype)], axis=-1)
-    out = _mlp(x, params["item_w1"], params["item_b1"],
-               params["item_w2"], params["item_b2"], dropout_rate, rng)
-    return l2_normalize(out)
+    return item_tower_from_embed(params, emb, genre_vecs, dropout_rate, rng)
 
 
 class TwoTowerModel:

@@ -1,0 +1,268 @@
+"""Pipeline orchestrator CLI.
+
+Stage parity with the reference orchestrator
+(``src/pipelines/run_pipeline.py:21,269-287``):
+``all | data | features | load_features | embeddings | index | ranker |
+evaluate`` with per-stage timing (:41-50) and fail-fast ``all`` (:243-267).
+
+The evaluate stage uses the SAME serving pipeline object as the HTTP path
+(the reference re-implements feature assembly inline, :189-213 — its own
+skew hazard, fixed here by construction).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from recommendit_tpu.config import Settings, settings as default_settings
+from recommendit_tpu.data.movielens import (
+    MovieLensData,
+    download_movielens,
+    load_or_synthesize,
+    save_movielens,
+    verify_dataset,
+)
+from recommendit_tpu.data.synthetic import make_synthetic_movielens
+from recommendit_tpu.evaluation.metrics import evaluate_model
+from recommendit_tpu.features.engineering import FeatureEngineer
+from recommendit_tpu.features.store import FeatureStore
+from recommendit_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+STAGES = ["all", "data", "features", "load_features", "embeddings", "index",
+          "ranker", "evaluate"]
+
+
+class PipelineOrchestrator:
+    def __init__(
+        self,
+        cfg: Optional[Settings] = None,
+        data_dir: Optional[str] = None,
+        models_dir: str = "models",
+        features_dir: str = "data/features",
+        synthetic: bool = False,
+        eval_users: int = 200,
+    ):
+        self.cfg = cfg or default_settings
+        self.data_dir = data_dir or self.cfg.DATA_DIR
+        self.models_dir = Path(models_dir)
+        self.features_dir = features_dir
+        self.synthetic = synthetic
+        self.eval_users = eval_users
+        self.stage_times: Dict[str, float] = {}
+        self._data: Optional[MovieLensData] = None
+        self.cfg = self.cfg.replace(
+            EMBEDDING_MODEL_PATH=str(self.models_dir / "two_tower.npz"),
+            INDEX_PATH=str(self.models_dir / "mips.index.npz"),
+            RANKER_MODEL_PATH=str(self.models_dir / "ranker.npz"),
+            DATA_DIR=self.data_dir,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def _timed(self, name: str, fn):
+        logger.info("=== stage: %s ===", name)
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        self.stage_times[name] = dt
+        logger.info("=== stage %s done in %.2fs ===", name, dt)
+        return out
+
+    def _load_data(self) -> MovieLensData:
+        if self._data is None:
+            if self.synthetic and not verify_dataset(Path(self.data_dir)):
+                data = make_synthetic_movielens(seed=self.cfg.SEED)
+                save_movielens(data, self.data_dir)
+            self._data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
+        return self._data
+
+    # ------------------------------------------------------------------ #
+    # Stages                                                               #
+    # ------------------------------------------------------------------ #
+
+    def run_data(self):
+        if self.synthetic:
+            data = make_synthetic_movielens(seed=self.cfg.SEED)
+            save_movielens(data, self.data_dir)
+            self._data = data
+            logger.info("Synthetic dataset written to %s", self.data_dir)
+        else:
+            download_movielens(str(Path(self.data_dir).parent))
+
+    def run_features(self):
+        data = self._load_data()
+        fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
+        fe.set_data(data)
+        fe.build_user_features()
+        fe.build_item_features()
+        fe.save_features(self.features_dir)
+
+    def run_load_features(self):
+        import pandas as pd
+
+        store = FeatureStore(self.cfg.REDIS_URL,
+                             ttl=self.cfg.FEATURE_CACHE_TTL_SECONDS)
+        uf = pd.read_parquet(Path(self.features_dir) / "user_features.parquet")
+        itf = pd.read_parquet(Path(self.features_dir) / "item_features.parquet")
+        store.load_all_features(uf, itf)
+        logger.info("Store stats: %s", store.stats())
+
+    def run_embeddings(self):
+        from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
+
+        data = self._load_data()
+        trainer = EmbeddingTrainer(
+            data, self.cfg,
+            model_output_path=self.cfg.EMBEDDING_MODEL_PATH,
+            ckpt_dir=str(self.models_dir / "two_tower_ckpt"),
+        )
+        trainer.train()
+        return trainer.history
+
+    def run_index(self):
+        from recommendit_tpu.training.build_index import IndexBuilder
+
+        data = self._load_data()
+        IndexBuilder(
+            data, self.cfg,
+            model_path=self.cfg.EMBEDDING_MODEL_PATH,
+            index_output_path=self.cfg.INDEX_PATH,
+        ).build()
+
+    def run_ranker(self):
+        from recommendit_tpu.training.train_ranker import RankerTrainer
+
+        data = self._load_data()
+        trainer = RankerTrainer(
+            data, self.cfg,
+            ranker_output_path=self.cfg.RANKER_MODEL_PATH,
+            features_dir=self.features_dir,
+        )
+        trainer.run()
+        return trainer.holdout_metrics
+
+    def run_evaluate(self) -> Dict:
+        """Temporal-split offline evaluation through the serving pipeline
+        (reference protocol: last 10% by time, relevance = rating >= 4,
+        K ∈ {5,10,20}, first N test users — ``run_pipeline.py:154-173``)."""
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        data = self._load_data()
+        r = data.ratings.sort_values("timestamp")
+        cut = int(len(r) * 0.9)
+        train_r, test_r = r.iloc[:cut], r.iloc[cut:]
+
+        truth = (
+            test_r[test_r["rating"] >= 4]
+            .groupby("user_id")["item_id"]
+            .apply(list)
+            .to_dict()
+        )
+        users = list(truth.keys())[: self.eval_users]
+
+        pipeline = RecommendationPipeline(
+            model_path=self.cfg.EMBEDDING_MODEL_PATH,
+            index_path=self.cfg.INDEX_PATH,
+            ranker_path=self.cfg.RANKER_MODEL_PATH,
+            redis_url=self.cfg.REDIS_URL,
+            data_dir=self.data_dir,
+            features_dir=self.features_dir,
+            cfg=self.cfg,
+        )
+        pipeline.load(data)
+        recs = pipeline.batch_recommend(users, k=20)
+
+        # popularity + retrieval-only baselines for the report
+        pop = (
+            train_r.groupby("item_id").size().sort_values(ascending=False)
+            .index[:20].tolist()
+        )
+        report = evaluate_model(
+            recs, truth, k_values=[5, 10, 20], catalog_size=data.n_items
+        )
+        pop_report = evaluate_model(
+            {u: pop for u in users}, truth, k_values=[10, 20]
+        )
+        report["popularity_ndcg@10"] = pop_report["ndcg@10"]
+        report["popularity_recall@20"] = pop_report["recall@20"]
+        report["popularity_mrr"] = pop_report["mrr"]
+
+        out = self.models_dir / "evaluation.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2, default=float))
+        logger.info("Evaluation written to %s", out)
+        return report
+
+    # ------------------------------------------------------------------ #
+
+    def run_stage(self, stage: str):
+        dispatch = {
+            "data": self.run_data,
+            "features": self.run_features,
+            "load_features": self.run_load_features,
+            "embeddings": self.run_embeddings,
+            "index": self.run_index,
+            "ranker": self.run_ranker,
+            "evaluate": self.run_evaluate,
+        }
+        if stage == "all":
+            return self.run_all()
+        if stage not in dispatch:
+            raise ValueError(f"Unknown stage {stage}; choose from {STAGES}")
+        return self._timed(stage, dispatch[stage])
+
+    def run_all(self):
+        out = None
+        for stage in ["data", "features", "embeddings", "index", "ranker",
+                      "load_features", "evaluate"]:
+            out = self._timed(stage, getattr(self, f"run_{stage}"))
+        logger.info("Stage times: %s",
+                    {k: round(v, 2) for k, v in self.stage_times.items()})
+        return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="recommendit_tpu pipeline")
+    parser.add_argument("--stage", choices=STAGES, default="all")
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--models-dir", default="models")
+    parser.add_argument("--features-dir", default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate synthetic MovieLens-format data")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--eval-users", type=int, default=200)
+    parser.add_argument("--log-level", default=None)
+    args = parser.parse_args(argv)
+
+    cfg = default_settings
+    if args.epochs:
+        cfg = cfg.replace(TRAIN_EPOCHS=args.epochs)
+    setup_logging(args.log_level or cfg.LOG_LEVEL)
+
+    orch = PipelineOrchestrator(
+        cfg=cfg,
+        data_dir=args.data_dir,
+        models_dir=args.models_dir,
+        features_dir=args.features_dir or (
+            str(Path(args.data_dir).parent / "features") if args.data_dir
+            else "data/features"
+        ),
+        synthetic=args.synthetic,
+        eval_users=args.eval_users,
+    )
+    result = orch.run_stage(args.stage)
+    if isinstance(result, dict):
+        print(json.dumps(result, indent=2, default=float))
+    return result
+
+
+if __name__ == "__main__":
+    main()

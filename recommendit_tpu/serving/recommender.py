@@ -1,0 +1,334 @@
+"""End-to-end recommendation inference pipeline.
+
+Capability parity with the reference pipeline
+(``src/serving/recommender.py``): cache → embed → retrieve top-500 →
+feature fetch → rank → top-k → cache, popularity cold-start fallback
+(:393-410), rolling p50/p99 latency tracking (:35-62), stats (:416-430).
+
+TPU-first difference: the hot path embed → MIPS top-500 → 50-feature
+assembly → MLP scoring → final top-k is ONE jitted device call over packed
+dense feature tables — the reference crosses host↔C++ twice (FAISS,
+LightGBM) and builds a 500-row python dict loop in between
+(:224-261, the worst serving inefficiency named in SURVEY.md §3.3).
+The feature-store contract (user:feat:/item:feat:/recs: keys) is kept for
+online updates; packed tables mirror it for device residency.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommendit_tpu.config import Settings, settings as default_settings
+from recommendit_tpu.data.movielens import MovieLensData, load_or_synthesize
+from recommendit_tpu.features.engineering import FeatureEngineer
+from recommendit_tpu.features.schema import (
+    assemble_packed_jnp,
+    pack_item_features,
+    pack_user_features,
+)
+from recommendit_tpu.features.store import FeatureStore
+from recommendit_tpu.models.ranker import LambdaRankScorer, mlp_score
+from recommendit_tpu.models.retrieval import MIPSIndex
+from recommendit_tpu.models.two_tower import TwoTowerModel, user_tower
+from recommendit_tpu.utils.latency import LatencyTracker
+
+logger = logging.getLogger(__name__)
+
+MAX_K = 100  # API cap (reference app.py:32 k<=100)
+
+
+@dataclasses.dataclass
+class RecommendationResult:
+    item_id: int
+    title: str
+    score: float
+    rank: int
+    retrieval_score: float = 0.0
+    genres: List[str] = dataclasses.field(default_factory=list)
+
+
+class RecommendationPipeline:
+    """Two-stage serving pipeline with a single-dispatch device hot path."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        index_path: Optional[str] = None,
+        ranker_path: Optional[str] = None,
+        redis_url: Optional[str] = None,
+        data_dir: Optional[str] = None,
+        features_dir: Optional[str] = None,
+        top_k_candidates: Optional[int] = None,
+        cfg: Optional[Settings] = None,
+    ):
+        self.cfg = cfg or default_settings
+        self.model_path = model_path or self.cfg.EMBEDDING_MODEL_PATH
+        self.index_path = index_path or self.cfg.INDEX_PATH
+        self.ranker_path = ranker_path or self.cfg.RANKER_MODEL_PATH
+        self.redis_url = redis_url or self.cfg.REDIS_URL
+        self.data_dir = data_dir or self.cfg.DATA_DIR
+        self.features_dir = features_dir
+        self.top_k_candidates = top_k_candidates or self.cfg.TOP_K_CANDIDATES
+
+        self.model: Optional[TwoTowerModel] = None
+        self.index: Optional[MIPSIndex] = None
+        self.ranker: Optional[LambdaRankScorer] = None
+        self.feature_store: Optional[FeatureStore] = None
+
+        self._item_titles: Dict[int, str] = {}
+        self._item_genres: Dict[int, List[str]] = {}
+        self._popularity_fallback: List[int] = []
+
+        self.latency_tracker = LatencyTracker(1000)
+        self.retrieval_latency = LatencyTracker(1000)
+        self.ranking_latency = LatencyTracker(1000)
+        self._cache_hits = 0
+        self._cache_misses = 0
+        self._loaded = False
+        self._serve_fn = None
+
+    # alias for reference-name compatibility
+    @property
+    def faiss_index(self):
+        return self.index
+
+    # ------------------------------------------------------------------ #
+    # Load                                                                 #
+    # ------------------------------------------------------------------ #
+
+    def load(self, data: Optional[MovieLensData] = None) -> None:
+        logger.info("Loading recommendation pipeline...")
+        t0 = time.time()
+
+        self.model = TwoTowerModel.load(self.model_path)
+        self.index = MIPSIndex.load(self.index_path)
+        self.ranker = LambdaRankScorer.load(self.ranker_path)
+        self.feature_store = FeatureStore(
+            redis_url=self.redis_url, ttl=self.cfg.FEATURE_CACHE_TTL_SECONDS
+        )
+
+        if data is None:
+            data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
+        self._load_item_metadata(data)
+        self._build_popularity_fallback(data)
+        self._build_packed_tables(data)
+        self._build_serve_fn()
+
+        self._loaded = True
+        logger.info("Pipeline loaded in %.2fs", time.time() - t0)
+
+    def _load_item_metadata(self, data: MovieLensData) -> None:
+        m = data.movies
+        self._item_titles = dict(
+            zip(m["item_id"].astype(int), m["title"].astype(str))
+        )
+        self._item_genres = {
+            int(i): str(g).split("|")
+            for i, g in zip(m["item_id"], m["genres"])
+        }
+
+    def _build_popularity_fallback(self, data: MovieLensData) -> None:
+        pop = (
+            data.ratings.groupby("item_id")["rating"].count()
+            .sort_values(ascending=False)
+        )
+        self._popularity_fallback = [int(i) for i in pop.index]
+
+    def _build_packed_tables(self, data: MovieLensData) -> None:
+        """Dense user/item feature tables for device-side assembly.
+
+        Prefers saved parquet features (shared contract with training);
+        recomputes from raw data otherwise, and bulk-loads the store so the
+        online KV contract stays warm.
+        """
+        fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
+        fe.set_data(data)
+        if self.features_dir and Path(self.features_dir).exists():
+            fe.load_features(self.features_dir)
+        if fe.user_features is None or fe.item_features is None:
+            fe.build_user_features()
+            fe.build_item_features()
+
+        n_users = max(self.model.n_users, data.n_users)
+        n_items = max(self.model.n_items, data.n_items)
+        self._user_packed = jnp.asarray(
+            pack_user_features(fe.user_features, n_users)
+        )
+        self._item_packed = jnp.asarray(
+            pack_item_features(fe.item_features, n_items)
+        )
+        self._n_users = n_users
+
+    def _build_serve_fn(self) -> None:
+        """Compile the fused serve path once.
+
+        user_id → tower → exact top-C retrieval → gather packed features →
+        assemble 50 cols → standardize → MLP scores → top-MAX_K.
+        """
+        params = self.model.params
+        item_embs = self.index._embs
+        item_ids_dev = self.index._ids_dev
+        user_packed = self._user_packed
+        item_packed = self._item_packed
+        feat_mean = jnp.asarray(self.ranker.feat_mean)
+        feat_std = jnp.asarray(self.ranker.feat_std)
+        ranker_params = self.ranker.params
+        n_cand = min(self.top_k_candidates, self.index.n_total)
+        k_out = min(MAX_K, n_cand)
+        block = self.cfg.RETRIEVAL_BLOCK_ITEMS
+
+        from recommendit_tpu.ops.topk import mips_topk
+
+        @jax.jit
+        def serve(user_id):
+            q = user_tower(params, user_id[None])
+            rvals, pos = mips_topk(q, item_embs, n_cand, block)
+            rvals, pos = rvals[0], pos[0]
+            cand_ids = jnp.take(item_ids_dev, pos)
+            u_vec = user_packed[user_id]
+            feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
+            x = (feats - feat_mean) / feat_std
+            scores = mlp_score(ranker_params, x)
+            top_scores, sel = jax.lax.top_k(scores, k_out)
+            return (
+                jnp.take(cand_ids, sel),
+                top_scores,
+                jnp.take(rvals, sel),
+            )
+
+        self._serve_fn = serve
+        # warm the compile cache so first request latency is clean
+        ids, _, _ = serve(jnp.asarray(1, jnp.int32))
+        jax.block_until_ready(ids)
+
+    # ------------------------------------------------------------------ #
+    # Inference                                                            #
+    # ------------------------------------------------------------------ #
+
+    def _get_user_embedding(self, user_id: int) -> Optional[np.ndarray]:
+        try:
+            return self.model.get_user_embedding(user_id)
+        except Exception as exc:
+            logger.warning("No embedding for user %d: %s", user_id, exc)
+            return None
+
+    def get_recommendations(
+        self,
+        user_id: int,
+        k: Optional[int] = None,
+        use_cache: bool = True,
+    ) -> List[RecommendationResult]:
+        if not self._loaded:
+            raise RuntimeError("Pipeline not loaded. Call load() first.")
+        k = k or self.cfg.TOP_K_RESULTS
+        t_start = time.time()
+
+        if use_cache:
+            cached = self.feature_store.get_cached_recommendations(user_id)
+            if cached is not None:
+                self._cache_hits += 1
+                return [RecommendationResult(**it) for it in cached][:k]
+        self._cache_misses += 1
+
+        if not (1 <= user_id <= self._n_users):
+            logger.warning("Unknown user %d — popularity fallback", user_id)
+            return self._popularity_recommendations(k)
+
+        t_retr = time.time()
+        try:
+            ids, scores, retr_scores = self._serve_fn(
+                jnp.asarray(user_id, jnp.int32)
+            )
+            ids = np.asarray(ids)
+            scores = np.asarray(scores)
+            retr_scores = np.asarray(retr_scores)
+        except Exception:
+            logger.exception("Serve path failed for user %d", user_id)
+            return self._popularity_recommendations(k)
+        device_ms = (time.time() - t_retr) * 1000
+        # one fused call: attribute device time to both stage trackers
+        self.retrieval_latency.record(device_ms)
+        self.ranking_latency.record(device_ms)
+
+        results = []
+        for rank, (iid, sc, rs) in enumerate(
+            zip(ids[:k].tolist(), scores[:k].tolist(), retr_scores[:k].tolist()),
+            start=1,
+        ):
+            results.append(
+                RecommendationResult(
+                    item_id=int(iid),
+                    title=self._item_titles.get(int(iid), f"Item {iid}"),
+                    score=float(sc),
+                    rank=rank,
+                    retrieval_score=float(rs),
+                    genres=self._item_genres.get(int(iid), []),
+                )
+            )
+
+        if use_cache and results:
+            self.feature_store.cache_recommendations(
+                user_id,
+                [dataclasses.asdict(r) for r in results],
+                ttl=self.cfg.CACHE_TTL_SECONDS,
+            )
+
+        self.latency_tracker.record((time.time() - t_start) * 1000)
+        return results
+
+    def batch_recommend(
+        self, user_ids: List[int], k: Optional[int] = None
+    ) -> Dict[int, List[int]]:
+        """Offline batched recommendation (eval driver): one device call for
+        many users; returns ranked item-id lists."""
+        k = k or self.cfg.TOP_K_RESULTS
+        out: Dict[int, List[int]] = {}
+        for uid in user_ids:
+            if not (1 <= uid <= self._n_users):
+                out[uid] = self._popularity_fallback[:k]
+                continue
+            ids, _, _ = self._serve_fn(jnp.asarray(uid, jnp.int32))
+            out[uid] = np.asarray(ids)[:k].tolist()
+        return out
+
+    # ------------------------------------------------------------------ #
+    # Cold start + stats                                                   #
+    # ------------------------------------------------------------------ #
+
+    def _popularity_recommendations(self, k: int) -> List[RecommendationResult]:
+        results = []
+        for rank, iid in enumerate(self._popularity_fallback[:k], start=1):
+            results.append(
+                RecommendationResult(
+                    item_id=int(iid),
+                    title=self._item_titles.get(int(iid), f"Item {iid}"),
+                    score=1.0 - rank / (k + 1),
+                    rank=rank,
+                    retrieval_score=0.0,
+                    genres=self._item_genres.get(int(iid), []),
+                )
+            )
+        return results
+
+    def get_stats(self) -> Dict[str, Any]:
+        total = self._cache_hits + self._cache_misses
+        return {
+            "total_requests": total,
+            "cache_hits": self._cache_hits,
+            "cache_misses": self._cache_misses,
+            "cache_hit_rate": self._cache_hits / max(total, 1),
+            "latency_p50_ms": round(self.latency_tracker.p50, 2),
+            "latency_p99_ms": round(self.latency_tracker.p99, 2),
+            "retrieval_p50_ms": round(self.retrieval_latency.p50, 2),
+            "retrieval_p99_ms": round(self.retrieval_latency.p99, 2),
+            "ranking_p50_ms": round(self.ranking_latency.p50, 2),
+            "ranking_p99_ms": round(self.ranking_latency.p99, 2),
+        }

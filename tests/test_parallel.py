@@ -1,0 +1,136 @@
+"""Distributed tests on the virtual 8-device CPU mesh (the JAX equivalent
+of multi-node tests without a cluster — SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recommendit_tpu.models.two_tower import init_params, item_tower, user_tower
+from recommendit_tpu.ops.bpr import in_batch_bpr_loss_xla
+from recommendit_tpu.ops.topk import mips_topk_numpy
+from recommendit_tpu.parallel import (
+    create_mesh,
+    init_sharded_state,
+    make_sharded_train_step,
+    pad_to_multiple,
+    row_sharded,
+    sharded_embedding_lookup,
+    sharded_mips_topk,
+    sharded_mips_topk_ring,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "tests expect the virtual 8-device mesh"
+    return create_mesh(shape=(2, 4))
+
+
+class TestShardedLookup:
+    def test_matches_dense_take(self, mesh):
+        rng = np.random.default_rng(0)
+        table = rng.normal(size=(64, 16)).astype(np.float32)  # 64 % 4 == 0
+        ids = rng.integers(0, 64, size=32)
+        t = jax.device_put(jnp.asarray(table), row_sharded(mesh))
+        out = sharded_embedding_lookup(t, jnp.asarray(ids), mesh)
+        np.testing.assert_allclose(np.asarray(out), table[ids], atol=1e-6)
+
+    def test_gradient_matches_dense(self, mesh):
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 32, size=16))
+        cot = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+
+        def dense(t):
+            return (jnp.take(t, ids, axis=0) * cot).sum()
+
+        def sharded(t):
+            return (sharded_embedding_lookup(t, ids, mesh) * cot).sum()
+
+        g_dense = jax.grad(dense)(table)
+        t_sharded = jax.device_put(table, row_sharded(mesh))
+        g_sharded = jax.grad(sharded)(t_sharded)
+        np.testing.assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_dense), atol=1e-5
+        )
+
+    def test_indivisible_rows_raise_and_pad_fixes(self, mesh):
+        table = np.ones((30, 4), np.float32)
+        padded = pad_to_multiple(table, 4)
+        assert padded.shape == (32, 4)
+        np.testing.assert_array_equal(padded[30:], 0.0)
+
+
+class TestShardedRetrieval:
+    @pytest.mark.parametrize("fn", [sharded_mips_topk, sharded_mips_topk_ring])
+    def test_matches_single_device(self, mesh, fn):
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items = rng.normal(size=(512, 16)).astype(np.float32)
+        items_dev = jax.device_put(jnp.asarray(items), row_sharded(mesh))
+        vals, idx = fn(jnp.asarray(q), items_dev, 20, mesh, block_size=64)
+        vn, idxn = mips_topk_numpy(q, items, 20)
+        np.testing.assert_allclose(np.asarray(vals), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), idxn)
+
+    def test_k_larger_than_shard(self, mesh):
+        """k > rows-per-shard exercises the per-shard padding path."""
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        items = rng.normal(size=(64, 8)).astype(np.float32)  # 16 rows/shard
+        items_dev = jax.device_put(jnp.asarray(items), row_sharded(mesh))
+        vals, idx = sharded_mips_topk(jnp.asarray(q), items_dev, 40, mesh,
+                                      block_size=16)
+        vn, idxn = mips_topk_numpy(q, items, 40)
+        np.testing.assert_array_equal(np.asarray(idx), idxn)
+
+
+class TestShardedTrainStep:
+    def test_loss_matches_single_device_and_decreases(self, mesh):
+        rng = np.random.default_rng(4)
+        n_users, n_items, d, h, b = 64, 64, 16, 32, 32
+        params = init_params(jax.random.PRNGKey(0), n_users - 1, n_items - 1,
+                             d, h)
+        genre_table = jnp.asarray(
+            (rng.random((n_items, 18)) < 0.2).astype(np.float32)
+        )
+        u_ids = jnp.asarray(rng.integers(1, n_users, size=b))
+        i_ids = jnp.asarray(rng.integers(1, n_items, size=b))
+        key = jax.random.PRNGKey(7)
+
+        tx = optax.adam(1e-2)
+
+        # single-device reference step
+        def ref_loss(p):
+            ue = user_tower(p, u_ids)
+            ie = item_tower(p, i_ids, jnp.take(genre_table, i_ids, axis=0))
+            return in_batch_bpr_loss_xla(ue, ie)
+
+        ref_l, ref_grads = jax.value_and_grad(ref_loss)(params)
+
+        step = make_sharded_train_step(mesh, tx, genre_table, dropout_rate=0.0)
+        sp, so = init_sharded_state(mesh, tx, params)
+        sp2, so2, loss = step(sp, so, (u_ids, i_ids), key)
+        assert float(loss) == pytest.approx(float(ref_l), abs=1e-5)
+
+        # several steps decrease the loss
+        losses = [float(loss)]
+        for t in range(5):
+            sp2, so2, loss = step(sp2, so2, (u_ids, i_ids),
+                                  jax.random.fold_in(key, t))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_table_sharding_preserved_across_steps(self, mesh):
+        params = init_params(jax.random.PRNGKey(1), 31, 31, 8, 16)
+        genre_table = jnp.zeros((32, 18))
+        tx = optax.sgd(1e-2)
+        step = make_sharded_train_step(mesh, tx, genre_table)
+        sp, so = init_sharded_state(mesh, tx, params)
+        u = jnp.arange(8) + 1
+        sp, so, _ = step(sp, so, (u, u), jax.random.PRNGKey(0))
+        spec = sp["user_embed"].sharding.spec
+        assert spec == P("model") or spec == P("model", None)

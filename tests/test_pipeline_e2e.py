@@ -1,0 +1,119 @@
+"""End-to-end pipeline test: all stages on tiny synthetic data, then the
+real (unmocked) serving pipeline answers requests through the app router."""
+import json
+
+import numpy as np
+import pytest
+
+from recommendit_tpu.config import Settings
+
+
+@pytest.fixture(scope="module")
+def trained_artifacts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = Settings(
+        EMBEDDING_DIM=16, HIDDEN_DIM=32, BATCH_SIZE=128, TRAIN_EPOCHS=2,
+        RANKER_EPOCHS=4, RANKER_GROUP_SIZE=32, USE_PALLAS=False, SEED=0,
+        TOP_K_CANDIDATES=50,
+    )
+    from recommendit_tpu.pipelines.run_pipeline import PipelineOrchestrator
+
+    orch = PipelineOrchestrator(
+        cfg=cfg,
+        data_dir=str(tmp / "ml"),
+        models_dir=str(tmp / "models"),
+        features_dir=str(tmp / "features"),
+        synthetic=True,
+        eval_users=30,
+    )
+    report = orch.run_all()
+    return orch, report, tmp
+
+
+class TestPipelineAll:
+    def test_all_stages_ran(self, trained_artifacts):
+        orch, _, _ = trained_artifacts
+        for stage in ("data", "features", "embeddings", "index", "ranker",
+                      "load_features", "evaluate"):
+            assert stage in orch.stage_times
+
+    def test_artifacts_written(self, trained_artifacts):
+        orch, _, tmp = trained_artifacts
+        assert (tmp / "models" / "two_tower.npz").exists()
+        assert (tmp / "models" / "mips.index.npz").exists()
+        assert (tmp / "models" / "ranker.npz").exists()
+        assert (tmp / "features" / "user_features.parquet").exists()
+        assert (tmp / "models" / "evaluation.json").exists()
+
+    def test_eval_report_sane(self, trained_artifacts):
+        _, report, _ = trained_artifacts
+        assert report["n_users"] > 0
+        for key in ("ndcg@10", "recall@20", "mrr", "coverage"):
+            assert 0.0 <= report[key] <= 1.0
+
+
+class TestRealServing:
+    @pytest.fixture(scope="class")
+    def app(self, trained_artifacts):
+        orch, _, tmp = trained_artifacts
+        from recommendit_tpu.serving.app import RecommendItApp
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        pipeline = RecommendationPipeline(
+            model_path=orch.cfg.EMBEDDING_MODEL_PATH,
+            index_path=orch.cfg.INDEX_PATH,
+            ranker_path=orch.cfg.RANKER_MODEL_PATH,
+            redis_url="redis://localhost:9999",
+            data_dir=str(tmp / "ml"),
+            features_dir=str(tmp / "features"),
+            cfg=orch.cfg,
+        )
+        pipeline.load()
+        return RecommendItApp(pipeline=pipeline, cfg=orch.cfg)
+
+    def test_recommend_known_user(self, app):
+        status, body, _ = app.handle(
+            "POST", "/recommend", {"user_id": 5, "k": 10}
+        )
+        assert status == 200
+        recs = body["recommendations"]
+        assert len(recs) == 10
+        scores = [r["score"] for r in recs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["title"] for r in recs)
+
+    def test_unknown_user_gets_popularity(self, app):
+        status, body, _ = app.handle(
+            "POST", "/recommend", {"user_id": 99999, "k": 5}
+        )
+        assert status == 200
+        assert len(body["recommendations"]) == 5
+
+    def test_cache_populated_and_hit(self, app):
+        app.handle("POST", "/recommend", {"user_id": 7, "k": 5})
+        status, body, _ = app.handle(
+            "POST", "/recommend", {"user_id": 7, "k": 5}
+        )
+        assert body["cache_hit"] is True
+
+    def test_second_call_deterministic(self, app):
+        _, b1, _ = app.handle(
+            "POST", "/recommend", {"user_id": 9, "k": 8, "use_cache": False}
+        )
+        _, b2, _ = app.handle(
+            "POST", "/recommend", {"user_id": 9, "k": 8, "use_cache": False}
+        )
+        assert [r["item_id"] for r in b1["recommendations"]] == [
+            r["item_id"] for r in b2["recommendations"]
+        ]
+
+    def test_model_info_real(self, app):
+        status, body, _ = app.handle("GET", "/model/info")
+        assert status == 200
+        assert body["index_stats"]["recall"] == 1.0
+        assert body["ranker_info"]["model_type"] == "lambdarank-mlp"
+
+    def test_items_endpoint_real(self, app):
+        status, body, _ = app.handle("GET", "/items/1")
+        assert status == 200
+        assert "Synthetic Movie" in body["title"]
