@@ -1,0 +1,88 @@
+# recommendit_tpu — stage targets mirror the reference Makefile surface
+# (train/serve/test/docker/lint; reference Makefile:29-123).
+
+PY ?= python
+DATA_DIR ?= data/ml-1m
+MODELS_DIR ?= models
+FEATURES_DIR ?= data/features
+CPU_ENV = JAX_PLATFORMS=cpu
+MESH_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+
+.PHONY: help data features load-features embeddings index ranker evaluate \
+        train all serve test test-features test-models test-api test-parallel \
+        test-coverage bench dryrun lint format clean
+
+help:
+	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort -u
+
+# ---- pipeline stages -------------------------------------------------- #
+data:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage data --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+features:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage features --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+load-features:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage load_features --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+embeddings:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage embeddings --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+index:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage index --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+ranker:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage ranker --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+evaluate:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage evaluate --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+train: all
+all:
+	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage all --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
+
+# end-to-end on synthetic data (air-gapped dev)
+all-synthetic:
+	$(CPU_ENV) $(PY) -m recommendit_tpu.pipelines.run_pipeline --stage all --synthetic \
+	  --data-dir /tmp/rtpu/ml-synth --models-dir /tmp/rtpu/models --features-dir /tmp/rtpu/features
+
+# ---- serving ---------------------------------------------------------- #
+serve:
+	$(PY) -m recommendit_tpu.serving.app
+
+# ---- tests ------------------------------------------------------------ #
+test:
+	$(PY) -m pytest tests/ -x -q
+
+test-features:
+	$(PY) -m pytest tests/test_features.py -q
+
+test-models:
+	$(PY) -m pytest tests/test_models.py tests/test_ops.py tests/test_ranker.py -q
+
+test-api:
+	$(PY) -m pytest tests/test_api.py tests/test_pipeline_e2e.py -q
+
+test-parallel:
+	$(PY) -m pytest tests/test_parallel.py -q
+
+test-coverage:
+	$(PY) -m pytest tests/ --cov=recommendit_tpu --cov-report=term-missing -q
+
+# ---- perf / multi-chip ------------------------------------------------ #
+bench:
+	$(PY) bench.py
+
+dryrun:
+	$(MESH_ENV) $(PY) __graft_entry__.py dryrun 8
+
+# ---- hygiene ---------------------------------------------------------- #
+lint:
+	$(PY) -m ruff check recommendit_tpu/ tests/ || true
+
+format:
+	$(PY) -m ruff format recommendit_tpu/ tests/ || true
+
+clean:
+	rm -rf __pycache__ .pytest_cache bench_details.json
+	find . -name "*.pyc" -delete
