@@ -86,3 +86,7 @@ format:
 clean:
 	rm -rf __pycache__ .pytest_cache bench_details.json
 	find . -name "*.pyc" -delete
+
+# ---- native ----------------------------------------------------------- #
+native:
+	$(MAKE) -C native

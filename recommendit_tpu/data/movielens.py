@@ -57,17 +57,30 @@ def _read_dat(path: Path, columns, encoding: str = "latin-1") -> pd.DataFrame:
     return df
 
 
+def _read_ratings(path: Path) -> pd.DataFrame:
+    """Ratings parser: native mmap parser when built, Python otherwise."""
+    from recommendit_tpu.data import native
+
+    cols = native.parse_int4_file(str(path)) if native.available() else None
+    if cols is not None:
+        return pd.DataFrame(
+            {"user_id": cols[0], "item_id": cols[1], "rating": cols[2],
+             "timestamp": cols[3]}
+        )
+    df = _read_dat(path, ["user_id", "item_id", "rating", "timestamp"])
+    return df.astype(
+        {"user_id": np.int64, "item_id": np.int64, "rating": np.int64,
+         "timestamp": np.int64}
+    )
+
+
 def load_movielens(data_dir: str = "data/ml-1m") -> MovieLensData:
     """Load the three MovieLens tables (reference load_data,
     ``feature_engineering.py:39-72``)."""
     d = Path(data_dir)
     logger.info("Loading MovieLens data from %s", d)
 
-    ratings = _read_dat(d / "ratings.dat", ["user_id", "item_id", "rating", "timestamp"])
-    ratings = ratings.astype(
-        {"user_id": np.int64, "item_id": np.int64, "rating": np.int64,
-         "timestamp": np.int64}
-    )
+    ratings = _read_ratings(d / "ratings.dat")
     ratings["timestamp"] = pd.to_datetime(ratings["timestamp"], unit="s")
 
     users = _read_dat(d / "users.dat", ["user_id", "gender", "age", "occupation", "zip_code"])
