@@ -63,6 +63,8 @@ class Settings:
     HIDDEN_DIM: int = 128
     DROPOUT: float = 0.2
     SEED: int = 0
+    LOSS_MODE: str = "softmax"   # softmax (logQ-corrected) | in_batch | pairwise
+    SOFTMAX_TEMPERATURE: float = 0.05
 
     # --- Ranker (replaces LightGBM knobs, reference :27-29) ---
     RANKER_HIDDEN_DIMS: Tuple[int, ...] = (128, 64)

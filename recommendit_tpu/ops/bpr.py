@@ -123,6 +123,38 @@ def _bpr_bwd(block_rows, interpret, res, g):
 in_batch_bpr_pallas.defvjp(_bpr_fwd, _bpr_bwd)
 
 
+def in_batch_softmax_loss(
+    user_emb,
+    item_emb,
+    log_q=None,
+    temperature: float = 0.05,
+):
+    """In-batch sampled softmax with logQ correction.
+
+    The strongest standard retrieval objective for two-tower models
+    (Yi et al. 2019, "Sampling-Bias-Corrected Neural Modeling"): each row's
+    positive is the diagonal, all other in-batch items are negatives whose
+    scores are corrected by their sampling probability (items enter the
+    batch ∝ popularity, so ``score − log q`` de-biases the softmax).
+    Temperature scaling matters because tower outputs are L2-normalized —
+    raw cosine logits in [−1, 1] are too flat to separate.
+
+    Args:
+        user_emb / item_emb: (B, D) L2-normalized tower outputs.
+        log_q: (B,) log sampling probability of each in-batch item (None →
+            uniform, no correction).
+        temperature: cosine logit divisor.
+    """
+    b = user_emb.shape[0]
+    scores = jnp.dot(
+        user_emb, item_emb.T, preferred_element_type=jnp.float32
+    ) / temperature
+    if log_q is not None:
+        scores = scores - log_q[None, :]
+    log_probs = jax.nn.log_softmax(scores, axis=1)
+    return -jnp.mean(jnp.diagonal(log_probs))
+
+
 def on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

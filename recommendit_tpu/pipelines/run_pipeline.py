@@ -79,7 +79,10 @@ class PipelineOrchestrator:
     def _load_data(self) -> MovieLensData:
         if self._data is None:
             if self.synthetic and not verify_dataset(Path(self.data_dir)):
-                data = make_synthetic_movielens(seed=self.cfg.SEED)
+                data = make_synthetic_movielens(
+                    n_users=1500, n_items=1200, n_ratings=150_000,
+                    seed=self.cfg.SEED,
+                )
                 save_movielens(data, self.data_dir)
             self._data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
         return self._data
@@ -90,7 +93,10 @@ class PipelineOrchestrator:
 
     def run_data(self):
         if self.synthetic:
-            data = make_synthetic_movielens(seed=self.cfg.SEED)
+            data = make_synthetic_movielens(
+                    n_users=1500, n_items=1200, n_ratings=150_000,
+                    seed=self.cfg.SEED,
+                )
             save_movielens(data, self.data_dir)
             self._data = data
             logger.info("Synthetic dataset written to %s", self.data_dir)

@@ -16,7 +16,6 @@ online updates; packed tables mirror it for device residency.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
 from pathlib import Path

@@ -43,6 +43,7 @@ from recommendit_tpu.models.two_tower import (
 from recommendit_tpu.ops.bpr import (
     in_batch_bpr_loss_xla,
     in_batch_bpr_pallas,
+    in_batch_softmax_loss,
     pairwise_bpr_loss,
 )
 from recommendit_tpu.utils.checkpoint import save_train_state
@@ -67,13 +68,13 @@ class EmbeddingTrainer:
         self,
         data: MovieLensData,
         cfg: Optional[Settings] = None,
-        loss_mode: str = "in_batch",
+        loss_mode: Optional[str] = None,
         model_output_path: Optional[str] = None,
         ckpt_dir: Optional[str] = None,
     ):
         self.cfg = cfg or default_settings
         self.data = data
-        self.loss_mode = loss_mode
+        self.loss_mode = loss_mode or self.cfg.LOSS_MODE
         self.model_output_path = model_output_path or self.cfg.EMBEDDING_MODEL_PATH
         self.ckpt_dir = ckpt_dir
         self.history: List[Dict] = []
@@ -101,6 +102,8 @@ class EmbeddingTrainer:
         cfg = self.cfg
         loss_mode = self.loss_mode
 
+        log_q_table = jnp.asarray(self._log_q_table())
+
         def loss_fn(params, batch, rng):
             k1, k2 = jax.random.split(rng)
             u_ids, i_ids, n_ids = batch
@@ -115,6 +118,11 @@ class EmbeddingTrainer:
                     cfg.DROPOUT, k2,
                 )
                 return pairwise_bpr_loss(ue, ie, ne)
+            if loss_mode == "softmax":
+                return in_batch_softmax_loss(
+                    ue, ie, jnp.take(log_q_table, i_ids),
+                    cfg.SOFTMAX_TEMPERATURE,
+                )
             if use_pallas:
                 return in_batch_bpr_pallas(ue, ie)
             return in_batch_bpr_loss_xla(ue, ie)
@@ -134,6 +142,13 @@ class EmbeddingTrainer:
             return params, opt_state, rng, jnp.mean(losses)
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _log_q_table(self) -> np.ndarray:
+        """(n_items+1,) log empirical sampling probability of each item in
+        the positive stream (for logQ-corrected sampled softmax)."""
+        counts = np.bincount(self.pos_items, minlength=self.n_items + 1)
+        p = counts / max(1, counts.sum())
+        return np.log(np.maximum(p, 1e-12)).astype(np.float32)
 
     def _epoch_batches(self, rng: np.random.Generator, batch_size: int):
         """Shuffle positives, drop remainder, optionally sample negatives."""
