@@ -3,8 +3,14 @@
 Headline metric: retrieval queries/s at top-500 over an ML-1M-sized catalog
 (3,952 items x dim 64), the reference's FAISS IVF workload
 (/root/reference/README.md:42: 6 ms p50 → ~166.7 QPS single-stream).
-Also measures BPR training examples/s/chip and single-request serve latency;
-details go to stderr and bench_details.json.
+Also measures BPR training examples/s/chip, large-corpus retrieval, and the
+fused serving path; details go to stderr and bench_details.json.
+
+Methodology note: every timed iteration's input depends on the previous
+iteration's output (a tiny perturbation), because the remote TPU runtime
+memoizes repeated identical executions — same-input loops measure the
+cache, not the chip. Timings are wall-clock over the dependency chain,
+blocking only at the end (throughput) or per call (latency).
 """
 import json
 import os
@@ -23,6 +29,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _chain_perturb(jnp, q0, out_vals):
+    """New query batch that depends on the previous output (keeps the value
+    distribution intact; forces real execution of every iteration)."""
+    return q0 + 1e-6 * out_vals[:, :1]
+
+
+def best_round(run_once, rounds: int = 4):
+    """Run a chained measurement several times, return the fastest round.
+
+    The shared TPU tunnel's latency oscillates between ~0.1 ms and ~27 ms
+    per round-trip; the fastest complete round reflects device throughput
+    rather than transient tunnel congestion.
+    """
+    return min(run_once() for _ in range(rounds))
+
+
 def bench_retrieval(jnp, jax):
     from recommendit_tpu.ops.topk import mips_topk
 
@@ -30,40 +52,162 @@ def bench_retrieval(jnp, jax):
     rng = np.random.default_rng(0)
     items = jnp.asarray(rng.normal(size=(n_items, dim)), jnp.float32)
     items = items / jnp.linalg.norm(items, axis=1, keepdims=True)
-    queries = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+    q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
 
     block = 2048
-    v, i = mips_topk(queries, items, k, block)
-    jax.block_until_ready(v)  # compile
+    fn = jax.jit(lambda q, it: mips_topk(q, it, k, block))
+    v, i = fn(q0, items)
+    jax.block_until_ready(v)
 
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v, i = mips_topk(queries, items, k, block)
-    jax.block_until_ready(v)
-    dt = time.perf_counter() - t0
-    qps = iters * batch / dt
-    ms_per_batch = dt / iters * 1000
 
-    # single-query latency (the reference's serving shape)
-    q1 = queries[:1]
-    v, _ = mips_topk(q1, items, k, block)
+    def run_once():
+        q = q0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            v, i = fn(q, items)
+            q = _chain_perturb(jnp, q0, v)
+        jax.block_until_ready(v)
+        return time.perf_counter() - t0
+
+    dt = best_round(run_once)
+    qps = iters * batch / dt
+
+    # single-query latency, blocking per call, varied inputs
+    fn1 = jax.jit(lambda q, it: mips_topk(q, it, k, block))
+    q1 = q0[:1]
+    v, _ = fn1(q1, items)
     jax.block_until_ready(v)
     lat = []
-    for _ in range(100):
-        t0 = time.perf_counter()
-        v, _ = mips_topk(q1, items, k, block)
+    for _ in range(60):
+        t1 = time.perf_counter()
+        v, _ = fn1(q1, items)
         jax.block_until_ready(v)
-        lat.append((time.perf_counter() - t0) * 1000)
+        lat.append((time.perf_counter() - t1) * 1000)
+        q1 = _chain_perturb(jnp, q0[:1], v)
     return {
         "retrieval_qps_top500": qps,
-        "retrieval_batch256_ms": ms_per_batch,
+        "retrieval_batch256_ms": dt / iters * 1000,
         "retrieval_single_query_p50_ms": float(np.percentile(lat, 50)),
         "retrieval_single_query_p99_ms": float(np.percentile(lat, 99)),
     }
 
 
+def bench_dispatch_rtt(jnp, jax):
+    """Host→device dispatch round-trip (tunnel latency floor for blocking
+    single calls; throughput numbers are unaffected by it)."""
+    f = jax.jit(lambda a, b: a + b)
+    x = jnp.ones((8, 8))
+    y = f(x, x)
+    jax.block_until_ready(y)
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        y = f(x, y)  # varied input via chain
+        jax.block_until_ready(y)
+        lat.append((time.perf_counter() - t0) * 1000)
+    return {"dispatch_rtt_p50_ms": float(np.percentile(lat, 50))}
+
+
+def bench_retrieval_large(jnp, jax):
+    """Scaling config: 1M-item corpus, dim 128 (beyond ML-1M scale)."""
+    from recommendit_tpu.ops.topk import mips_topk
+
+    n_items, dim, k, batch = 1_000_000, 128, 500, 256
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(n_items, dim)), jnp.float32)
+    q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+    block = 65536
+
+    out = {}
+    variants = {
+        "exact": jax.jit(lambda q, it: mips_topk(q, it, k, block)),
+        "approx": jax.jit(lambda q, it: mips_topk(q, it, k, block, "approx")),
+        "full_approx": jax.jit(
+            lambda q, it: jax.lax.approx_max_k(
+                jnp.dot(q, it.T, preferred_element_type=jnp.float32), k
+            )
+        ),
+    }
+    for name, fn in variants.items():
+        v, i = fn(q0, items)
+        jax.block_until_ready(v)
+        iters = 10
+
+        def run_once():
+            q = q0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                v, i = fn(q, items)
+                q = _chain_perturb(jnp, q0, v)
+            jax.block_until_ready(v)
+            return time.perf_counter() - t0
+
+        dt = best_round(run_once, rounds=3)
+        out[f"retrieval_1M_dim128_{name}_qps"] = iters * batch / dt
+        out[f"retrieval_1M_dim128_{name}_batch_ms"] = dt / iters * 1000
+    return out
+
+
+def bench_serve_e2e(jnp, jax):
+    """Fused serving hot path: embed → top-500 of 3952 → assemble 50 feats →
+    MLP rank → top-100, batched over 256 users."""
+    from recommendit_tpu.features.schema import assemble_packed_jnp
+    from recommendit_tpu.models.ranker import init_mlp, mlp_score
+    from recommendit_tpu.models.two_tower import init_params, user_tower
+    from recommendit_tpu.ops.topk import mips_topk
+
+    n_users, n_items, d, h = 6040, 3952, 64, 128
+    batch, n_cand, k_out = 256, 500, 100
+    rng = np.random.default_rng(0)
+    params = init_params(jax.random.PRNGKey(0), n_users, n_items, d, h)
+    item_embs = jnp.asarray(rng.normal(size=(n_items, d)), jnp.float32)
+    user_packed = jnp.asarray(rng.normal(size=(n_users + 1, 24)), jnp.float32)
+    item_packed = jnp.asarray(rng.normal(size=(n_items + 1, 23)), jnp.float32)
+    rparams = init_mlp(jax.random.PRNGKey(1), 50, (128, 64))
+    ids_dev = jnp.arange(1, n_items + 1, dtype=jnp.int32)
+
+    @jax.jit
+    def serve_batch(user_ids):
+        q = user_tower(params, user_ids)
+        rvals, pos = mips_topk(q, item_embs, n_cand, 2048)
+        cand = jnp.take(ids_dev, pos)
+        u_vecs = jnp.take(user_packed, user_ids, axis=0)
+        feats = jax.vmap(
+            lambda uv, ci: assemble_packed_jnp(
+                uv, jnp.take(item_packed, ci, axis=0)
+            )
+        )(u_vecs, cand)
+        scores = mlp_score(rparams, feats)
+        top_scores, sel = jax.lax.top_k(scores, k_out)
+        return jnp.take_along_axis(cand, sel, axis=1), top_scores
+
+    u0 = rng.integers(1, n_users, size=batch)
+    uids0 = jnp.asarray(u0, jnp.int32)
+    out = serve_batch(uids0)
+    jax.block_until_ready(out)
+    iters = 30
+
+    def run_once():
+        uids = uids0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cand_ids, scores = serve_batch(uids)
+            # id-space perturbation dependent on previous output
+            uids = (jnp.asarray(u0) + cand_ids[:, 0] % 2).astype(jnp.int32)
+        jax.block_until_ready(scores)
+        return time.perf_counter() - t0
+
+    dt = best_round(run_once)
+    return {
+        "serve_e2e_users_per_s": iters * batch / dt,
+        "serve_e2e_batch256_ms": dt / iters * 1000,
+    }
+
+
 def bench_bpr_train(jnp, jax):
+    import functools
+
     import optax
 
     from recommendit_tpu.models.two_tower import (
@@ -81,8 +225,6 @@ def bench_bpr_train(jnp, jax):
     )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
     opt_state = tx.init(params)
-
-    import functools
 
     steps_per_call = 50  # scan over steps inside one jit, like the trainer
 
@@ -118,6 +260,7 @@ def bench_bpr_train(jnp, jax):
     key = jax.random.PRNGKey(0)
     # Per-call timing with a median: donated-buffer layout changes cause a
     # couple of recompiles in the first calls; the median is steady state.
+    # (params evolve every call, so there is no same-input caching here.)
     per_call = []
     for t in range(8):
         t0 = time.perf_counter()
@@ -140,6 +283,8 @@ def main():
     log(f"bench platform: {platform} ({jax.devices()[0]})")
 
     results = {"platform": platform}
+    results.update(bench_dispatch_rtt(jnp, jax))
+    log(f"dispatch rtt p50: {results['dispatch_rtt_p50_ms']:.2f} ms")
     results.update(bench_retrieval(jnp, jax))
     log(f"retrieval: {results['retrieval_qps_top500']:.0f} qps "
         f"(batch256 {results['retrieval_batch256_ms']:.2f} ms, "
@@ -147,6 +292,14 @@ def main():
     results.update(bench_bpr_train(jnp, jax))
     log(f"bpr train: {results['bpr_examples_per_s_per_chip']:.0f} ex/s "
         f"({results['bpr_step_ms']:.2f} ms/step @1024)")
+    results.update(bench_retrieval_large(jnp, jax))
+    log(f"retrieval 1M x 128: exact "
+        f"{results['retrieval_1M_dim128_exact_qps']:.0f} qps, approx "
+        f"{results['retrieval_1M_dim128_approx_qps']:.0f}, full+approx "
+        f"{results['retrieval_1M_dim128_full_approx_qps']:.0f}")
+    results.update(bench_serve_e2e(jnp, jax))
+    log(f"serve e2e: {results['serve_e2e_users_per_s']:.0f} users/s "
+        f"(batch256 {results['serve_e2e_batch256_ms']:.2f} ms)")
 
     Path("bench_details.json").write_text(json.dumps(results, indent=2))
 

@@ -150,7 +150,9 @@ def save_movielens(data: MovieLensData, data_dir: str) -> Path:
     r = data.ratings.copy()
     ts = r["timestamp"]
     if np.issubdtype(ts.dtype, np.datetime64):
-        ts = ts.astype("int64") // 10**9
+        # normalize to seconds regardless of the series' datetime unit
+        # (pandas may carry datetime64[s] or [ns])
+        ts = ts.astype("datetime64[s]").astype("int64")
     lines = (
         r["user_id"].astype(str) + "::" + r["item_id"].astype(str) + "::"
         + r["rating"].astype(str) + "::" + ts.astype(str)

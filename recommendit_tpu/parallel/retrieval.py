@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from recommendit_tpu.ops.topk import mips_topk
+from recommendit_tpu.ops.topk import fast_topk, mips_topk
 from recommendit_tpu.parallel.mesh import MODEL_AXIS
 
 
@@ -43,7 +43,7 @@ def _allgather_merge(queries, items_shard, k, block_size, axis):
     vals, gidx = _local_topk(queries, items_shard, k, block_size, axis)
     all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)   # (Q, S*k)
     all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
-    mvals, sel = jax.lax.top_k(all_vals, k)
+    mvals, sel = fast_topk(all_vals, k)
     midx = jnp.take_along_axis(all_idx, sel, axis=1)
     return mvals, midx
 
@@ -89,7 +89,7 @@ def _ring_merge(queries, items_shard, k, block_size, axis):
         buf_i = jax.lax.ppermute(buf_i, axis, perm)
         cat_v = jnp.concatenate([run_v, buf_v], axis=1)
         cat_i = jnp.concatenate([run_i, buf_i], axis=1)
-        mv, sel = jax.lax.top_k(cat_v, k)
+        mv, sel = fast_topk(cat_v, k)
         mi = jnp.take_along_axis(cat_i, sel, axis=1)
         return (mv, mi, buf_v, buf_i), None
 

@@ -184,7 +184,7 @@ class RecommendationPipeline:
         k_out = min(MAX_K, n_cand)
         block = self.cfg.RETRIEVAL_BLOCK_ITEMS
 
-        from recommendit_tpu.ops.topk import mips_topk
+        from recommendit_tpu.ops.topk import fast_topk, mips_topk
 
         @jax.jit
         def serve(user_id):
@@ -196,14 +196,38 @@ class RecommendationPipeline:
             feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
             x = (feats - feat_mean) / feat_std
             scores = mlp_score(ranker_params, x)
-            top_scores, sel = jax.lax.top_k(scores, k_out)
+            top_scores, sel = fast_topk(scores, k_out)
             return (
                 jnp.take(cand_ids, sel),
                 top_scores,
                 jnp.take(rvals, sel),
             )
 
+        @jax.jit
+        def serve_batch(user_ids):
+            """(B,) user ids → (B, k_out) ranked item ids/scores — bulk
+            offline scoring; the whole two-stage pipeline for B users in
+            one device program."""
+            q = user_tower(params, user_ids)
+            rvals, pos = mips_topk(q, item_embs, n_cand, block)
+            cand_ids = jnp.take(item_ids_dev, pos)              # (B, C)
+            u_vecs = jnp.take(user_packed, user_ids, axis=0)    # (B, 24)
+            feats = jax.vmap(
+                lambda uv, ci: assemble_packed_jnp(
+                    uv, jnp.take(item_packed, ci, axis=0)
+                )
+            )(u_vecs, cand_ids)                                  # (B, C, 50)
+            x = (feats - feat_mean) / feat_std
+            scores = mlp_score(ranker_params, x)                 # (B, C)
+            top_scores, sel = fast_topk(scores, k_out)
+            return (
+                jnp.take_along_axis(cand_ids, sel, axis=1),
+                top_scores,
+                jnp.take_along_axis(rvals, sel, axis=1),
+            )
+
         self._serve_fn = serve
+        self._serve_batch_fn = serve_batch
         # warm the compile cache so first request latency is clean
         ids, _, _ = serve(jnp.asarray(1, jnp.int32))
         jax.block_until_ready(ids)
@@ -284,18 +308,26 @@ class RecommendationPipeline:
         return results
 
     def batch_recommend(
-        self, user_ids: List[int], k: Optional[int] = None
+        self, user_ids: List[int], k: Optional[int] = None,
+        batch_size: int = 256,
     ) -> Dict[int, List[int]]:
-        """Offline batched recommendation (eval driver): one device call for
-        many users; returns ranked item-id lists."""
+        """Offline batched recommendation (eval driver): the full two-stage
+        pipeline for many users per device call; returns ranked item-id
+        lists. Unknown users get the popularity fallback."""
         k = k or self.cfg.TOP_K_RESULTS
         out: Dict[int, List[int]] = {}
-        for uid in user_ids:
-            if not (1 <= uid <= self._n_users):
-                out[uid] = self._popularity_fallback[:k]
-                continue
-            ids, _, _ = self._serve_fn(jnp.asarray(uid, jnp.int32))
-            out[uid] = np.asarray(ids)[:k].tolist()
+        known = [u for u in user_ids if 1 <= u <= self._n_users]
+        for u in user_ids:
+            if not (1 <= u <= self._n_users):
+                out[u] = self._popularity_fallback[:k]
+        for s in range(0, len(known), batch_size):
+            chunk = known[s: s + batch_size]
+            # pad to a fixed shape so only one executable is compiled
+            padded = chunk + [1] * (batch_size - len(chunk))
+            ids, _, _ = self._serve_batch_fn(jnp.asarray(padded, jnp.int32))
+            ids = np.asarray(ids)
+            for row, u in enumerate(chunk):
+                out[u] = ids[row, :k].tolist()
         return out
 
     # ------------------------------------------------------------------ #

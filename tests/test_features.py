@@ -234,6 +234,25 @@ class TestFeatureStore:
         assert "genre_vector" in out and "title" in out
 
 
+class TestDatRoundTrip:
+    def test_timestamps_survive_save_load(self, synthetic_data, tmp_path):
+        """Regression: datetime64[s] series must round-trip through the
+        .dat format as epoch seconds (a unit bug once crushed them to 0,
+        silently breaking the temporal eval split)."""
+        from recommendit_tpu.data.movielens import load_movielens, save_movielens
+
+        save_movielens(synthetic_data, str(tmp_path / "ml"))
+        back = load_movielens(str(tmp_path / "ml"))
+        assert back.ratings["timestamp"].min().year >= 2000
+        orig = synthetic_data.ratings.sort_values(
+            ["user_id", "item_id"]).reset_index(drop=True)
+        got = back.ratings.sort_values(
+            ["user_id", "item_id"]).reset_index(drop=True)
+        assert (
+            orig["timestamp"].astype("datetime64[s]") == got["timestamp"]
+        ).all()
+
+
 class TestParquetRoundTrip:
     def test_save_load_identity(self, engineered_features, tmp_path):
         fe = engineered_features
