@@ -78,6 +78,9 @@ class Settings:
     # --- Skew detection (reference :30) ---
     SKEW_KL_THRESHOLD: float = 0.1
 
+    # --- Serving options beyond the reference ---
+    FILTER_SEEN: bool = False    # exclude items the user already interacted with
+
     # --- TPU-native knobs (no reference equivalent) ---
     MESH_DATA_AXIS: str = "data"
     MESH_MODEL_AXIS: str = "model"

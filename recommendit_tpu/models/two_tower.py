@@ -77,12 +77,21 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
 
 
-def _mlp(x, w1, b1, w2, b2, dropout_rate: float, rng: Optional[jax.Array]):
+def _mlp(x, w1, b1, w2, b2, dropout_rate: float, rng: Optional[jax.Array],
+         compute_dtype=None):
+    """MLP head; optional reduced-precision compute (params stay f32,
+    matmuls run in e.g. bfloat16 on the MXU, output returns to f32 before
+    normalization)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w1, b1 = w1.astype(compute_dtype), b1.astype(compute_dtype)
+        w2, b2 = w2.astype(compute_dtype), b2.astype(compute_dtype)
     h = jnp.maximum(x @ w1 + b1, 0.0)
     if dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, h.shape)
         h = jnp.where(keep, h / (1.0 - dropout_rate), 0.0)
-    return h @ w2 + b2
+    out = h @ w2 + b2
+    return out.astype(jnp.float32)
 
 
 def user_tower_from_embed(
@@ -90,11 +99,13 @@ def user_tower_from_embed(
     emb: jnp.ndarray,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """MLP head over pre-gathered user embedding rows (used by the sharded
     lookup path in ``recommendit_tpu.parallel``)."""
     out = _mlp(emb, params["user_w1"], params["user_b1"],
-               params["user_w2"], params["user_b2"], dropout_rate, rng)
+               params["user_w2"], params["user_b2"], dropout_rate, rng,
+               compute_dtype)
     return l2_normalize(out)
 
 
@@ -104,11 +115,13 @@ def item_tower_from_embed(
     genre_vecs: jnp.ndarray,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """MLP head over pre-gathered item embedding rows ⊕ genre vector."""
     x = jnp.concatenate([emb, genre_vecs.astype(emb.dtype)], axis=-1)
     out = _mlp(x, params["item_w1"], params["item_b1"],
-               params["item_w2"], params["item_b2"], dropout_rate, rng)
+               params["item_w2"], params["item_b2"], dropout_rate, rng,
+               compute_dtype)
     return l2_normalize(out)
 
 
@@ -117,10 +130,11 @@ def user_tower(
     user_ids: jnp.ndarray,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """(B,) int ids → (B, D) L2-normalized user embeddings."""
     emb = jnp.take(params["user_embed"], user_ids, axis=0)
-    return user_tower_from_embed(params, emb, dropout_rate, rng)
+    return user_tower_from_embed(params, emb, dropout_rate, rng, compute_dtype)
 
 
 def item_tower(
@@ -129,10 +143,12 @@ def item_tower(
     genre_vecs: jnp.ndarray,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """(B,) int ids + (B, 18) genre multi-hot → (B, D) normalized embeddings."""
     emb = jnp.take(params["item_embed"], item_ids, axis=0)
-    return item_tower_from_embed(params, emb, genre_vecs, dropout_rate, rng)
+    return item_tower_from_embed(params, emb, genre_vecs, dropout_rate, rng,
+                                 compute_dtype)
 
 
 class TwoTowerModel:

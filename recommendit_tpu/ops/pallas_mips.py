@@ -1,0 +1,159 @@
+"""Fused Pallas MIPS retrieval kernel.
+
+The XLA path (``ops.topk``) materializes the (Q, N) score matrix in HBM —
+at 1M items x 256 queries that is 1 GB of write+read traffic per batch and
+dominates the runtime. This kernel fuses the score matmul with an in-VMEM
+candidate reduction so only a 1/R-reduced candidate set (values + fold
+offsets) ever reaches HBM.
+
+Per item block (grid step): scores = Q · blockᵀ on the MXU, then a
+log2(R)-step *fold-max*: repeatedly max the left/right halves of the score
+rows. Indices are NOT carried explicitly (a Mosaic bug crashes on
+iota-fed select chains); instead a zeros-initialized *offset accumulator*
+rides the same fold — picking the right half at half-width h adds h — and
+the original block-local index of the survivor at final column p is simply
+``p + offset[p]``. Offsets are f32 (exact for any practical block size).
+
+The reduction has the same bin-recall model as ``lax.approx_max_k``: a
+top-k item is lost only if a larger top-k item lands in its fold bin
+(expected recall ≈ 1 − k·R/(2N) per item for k«N). The caller finishes
+with one exact partial-reduce top-k over the Q x (N/R) candidates.
+
+Reference capability replaced: FAISS IVF probe
+(``src/models/faiss_index.py:113``) — this is the full-corpus,
+no-index-build, recall-tunable TPU equivalent.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from recommendit_tpu.ops.topk import fast_topk
+
+
+def _fold_kernel(q_ref, items_ref, vals_ref, off_ref, *, block_items: int,
+                 out_per_block: int, n_valid: int, n_queries: int):
+    """One item block: fused matmul + fold-max with offset accumulator."""
+    scores = jax.lax.dot_general(
+        q_ref[:], items_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, BN)
+    # Padding columns need no in-kernel mask: the wrapper appends a bias
+    # coordinate (query=1, real item=0, pad item=-LARGE) so padded scores
+    # are already hugely negative here.
+
+    off = jnp.zeros_like(scores)
+    w = block_items
+    while w > out_per_block:
+        h = w // 2
+        left, right = scores[:, :h], scores[:, h:w]
+        take_left = left >= right
+        scores = jnp.where(take_left, left, right)
+        off = jnp.where(take_left, off[:, :h], off[:, h:w] + float(h))
+        w = h
+
+    vals_ref[:] = scores
+    off_ref[:] = off
+    del n_valid, n_queries
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mips_topk_fused(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_items: int = 2048,
+    reduction: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel MIPS top-k.
+
+    Args:
+        queries: (Q, D) float32/bf16.
+        item_embs: (N, D).
+        k: results per query (requires k <= N/reduction).
+        block_items: items per grid step (power of two; VMEM-resident).
+        reduction: fold reduction factor R (candidates = N/R).
+        interpret: Pallas interpreter mode (CPU tests).
+
+    Returns (values (Q, k), global indices (Q, k)), sorted descending.
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds corpus size {n}")
+    bn = min(block_items, 1 << (n - 1).bit_length())
+    out_per_block = max(1, bn // reduction)
+
+    n_blocks = -(-n // bn)
+    pad = n_blocks * bn - n
+    if pad:
+        # bias-coordinate trick: query gets an extra 1, real items a 0,
+        # padding items -3e38 → padded scores are ~-inf with no in-kernel
+        # column masking (Mosaic-friendly).
+        queries = jnp.concatenate(
+            [queries, jnp.ones((q, 1), queries.dtype)], axis=1
+        )
+        bias = jnp.concatenate(
+            [jnp.zeros((n, 1), item_embs.dtype),
+             jnp.full((pad, 1), -3e38, item_embs.dtype)], axis=0
+        )
+        items = jnp.concatenate(
+            [jnp.pad(item_embs, ((0, pad), (0, 0))), bias], axis=1
+        )
+        d = d + 1
+    else:
+        items = item_embs
+    n_cand = n_blocks * out_per_block
+    if k > n_cand:
+        raise ValueError(
+            f"k={k} exceeds candidate count {n_cand}; lower `reduction` "
+            f"(N/R must be >= k)"
+        )
+
+    kernel = functools.partial(
+        _fold_kernel,
+        block_items=bn,
+        out_per_block=out_per_block,
+        n_valid=n,
+        n_queries=q,
+    )
+    cand_vals, cand_off = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, out_per_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, out_per_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, n_cand), jnp.float32),
+            jax.ShapeDtypeStruct((q, n_cand), jnp.float32),
+        ],
+        interpret=interpret,
+    )(queries, items)
+
+    # candidate column c belongs to block c//OUT at final position c%OUT;
+    # original index = block*BN + (c%OUT) + offset[c]
+    local_pos = jnp.tile(
+        jnp.arange(out_per_block, dtype=jnp.int32), n_blocks
+    )[None, :]
+    block_base = jnp.repeat(
+        jnp.arange(n_blocks, dtype=jnp.int32) * bn, out_per_block
+    )[None, :]
+    cand_idx = block_base + local_pos + cand_off.astype(jnp.int32)
+
+    vals, sel = fast_topk(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    return vals, idx

@@ -37,7 +37,7 @@ from recommendit_tpu.utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 STAGES = ["all", "data", "features", "load_features", "embeddings", "index",
-          "ranker", "evaluate"]
+          "ranker", "evaluate", "skew"]
 
 
 class PipelineOrchestrator:
@@ -186,7 +186,8 @@ class PipelineOrchestrator:
         pipeline.load(data)
         recs = pipeline.batch_recommend(users, k=20)
 
-        # popularity + retrieval-only baselines for the report
+        # popularity + retrieval-only baselines for the report (the
+        # reference publishes all three rows, README.md:36-38)
         pop = (
             train_r.groupby("item_id").size().sort_values(ascending=False)
             .index[:20].tolist()
@@ -201,10 +202,72 @@ class PipelineOrchestrator:
         report["popularity_recall@20"] = pop_report["recall@20"]
         report["popularity_mrr"] = pop_report["mrr"]
 
+        known = [u for u in users if 1 <= u <= pipeline.model.n_users]
+        if known:
+            q = np.stack([pipeline.model.get_user_embedding(u) for u in known])
+            _, ids = pipeline.index.batch_search(q, k=20)
+            retr_recs = {u: ids[i].tolist() for i, u in enumerate(known)}
+            retr_report = evaluate_model(retr_recs, truth, k_values=[10, 20])
+            report["retrieval_only_ndcg@10"] = retr_report["ndcg@10"]
+            report["retrieval_only_recall@20"] = retr_report["recall@20"]
+            report["retrieval_only_mrr"] = retr_report["mrr"]
+
         out = self.models_dir / "evaluation.json"
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(report, indent=2, default=float))
         logger.info("Evaluation written to %s", out)
+        return report
+
+    def run_skew(self) -> Dict:
+        """Training-serving skew check (reference exposes this only as an
+        offline utility, ``metrics.py:236``; here it is a pipeline stage):
+        compares the offline training feature join against the serving
+        path's packed-table assembly for a sample of (user, item) pairs.
+        With the shared contract these must agree (max KL ≈ 0) — a nonzero
+        report means the contract drifted."""
+        from recommendit_tpu.evaluation.metrics import detect_training_serving_skew
+        from recommendit_tpu.features.schema import (
+            FEATURE_COLUMNS,
+            assemble_packed_np,
+            pack_item_features,
+            pack_user_features,
+        )
+        import pandas as pd
+
+        data = self._load_data()
+        fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
+        fe.set_data(data)
+        fe.load_features(self.features_dir)
+        if fe.user_features is None or fe.item_features is None:
+            fe.build_user_features()
+            fe.build_item_features()
+
+        pairs, _ = fe.build_training_pairs(n_negatives=2, seed=self.cfg.SEED)
+        sample = pairs.sample(n=min(4000, len(pairs)),
+                              random_state=self.cfg.SEED)
+        train_feats = fe.build_interaction_features(sample)
+
+        user_table = pack_user_features(fe.user_features, data.n_users)
+        item_table = pack_item_features(fe.item_features, data.n_items)
+        serving_rows = [
+            assemble_packed_np(
+                user_table[int(u)], item_table[np.array([int(i)])]
+            )[0]
+            for u, i in zip(sample["user_id"], sample["item_id"])
+        ]
+        serving_feats = pd.DataFrame(serving_rows, columns=FEATURE_COLUMNS)
+
+        report = detect_training_serving_skew(
+            train_feats[FEATURE_COLUMNS], serving_feats,
+            threshold=self.cfg.SKEW_KL_THRESHOLD,
+        )
+        out = self.models_dir / "skew_report.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2, default=float))
+        logger.info(
+            "Skew check: max_kl=%.6f detected=%s (report → %s)",
+            report["max_kl"], report["skew_detected"], out,
+        )
         return report
 
     # ------------------------------------------------------------------ #
@@ -218,6 +281,7 @@ class PipelineOrchestrator:
             "index": self.run_index,
             "ranker": self.run_ranker,
             "evaluate": self.run_evaluate,
+            "skew": self.run_skew,
         }
         if stage == "all":
             return self.run_all()

@@ -166,6 +166,16 @@ class RecommendationPipeline:
         )
         self._n_users = n_users
 
+        self._seen_table = None
+        if self.cfg.FILTER_SEEN:
+            # dense (n_users+1, n_items+1) seen mask; fine to ~10^4 x 10^4
+            # scale (ML-1M: 24 MB) — larger catalogs should shard it or use
+            # a bloom structure
+            seen = np.zeros((n_users + 1, n_items + 1), dtype=bool)
+            seen[data.ratings["user_id"].values,
+                 data.ratings["item_id"].values] = True
+            self._seen_table = jnp.asarray(seen)
+
     def _build_serve_fn(self) -> None:
         """Compile the fused serve path once.
 
@@ -186,6 +196,8 @@ class RecommendationPipeline:
 
         from recommendit_tpu.ops.topk import fast_topk, mips_topk
 
+        seen_table = self._seen_table
+
         @jax.jit
         def serve(user_id):
             q = user_tower(params, user_id[None])
@@ -196,6 +208,9 @@ class RecommendationPipeline:
             feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
             x = (feats - feat_mean) / feat_std
             scores = mlp_score(ranker_params, x)
+            if seen_table is not None:
+                seen = jnp.take(seen_table[user_id], cand_ids)
+                scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
                 jnp.take(cand_ids, sel),
@@ -219,6 +234,11 @@ class RecommendationPipeline:
             )(u_vecs, cand_ids)                                  # (B, C, 50)
             x = (feats - feat_mean) / feat_std
             scores = mlp_score(ranker_params, x)                 # (B, C)
+            if seen_table is not None:
+                seen = jnp.take_along_axis(
+                    jnp.take(seen_table, user_ids, axis=0), cand_ids, axis=1
+                )
+                scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
                 jnp.take_along_axis(cand_ids, sel, axis=1),

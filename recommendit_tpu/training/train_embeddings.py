@@ -103,19 +103,20 @@ class EmbeddingTrainer:
         loss_mode = self.loss_mode
 
         log_q_table = jnp.asarray(self._log_q_table())
+        cdt = jnp.bfloat16 if cfg.COMPUTE_DTYPE == "bfloat16" else None
 
         def loss_fn(params, batch, rng):
             k1, k2 = jax.random.split(rng)
             u_ids, i_ids, n_ids = batch
-            ue = user_tower(params, u_ids, cfg.DROPOUT, k1)
+            ue = user_tower(params, u_ids, cfg.DROPOUT, k1, cdt)
             ie = item_tower(
                 params, i_ids, jnp.take(genre_table, i_ids, axis=0),
-                cfg.DROPOUT, k2,
+                cfg.DROPOUT, k2, cdt,
             )
             if loss_mode == "pairwise":
                 ne = item_tower(
                     params, n_ids, jnp.take(genre_table, n_ids, axis=0),
-                    cfg.DROPOUT, k2,
+                    cfg.DROPOUT, k2, cdt,
                 )
                 return pairwise_bpr_loss(ue, ie, ne)
             if loss_mode == "softmax":
@@ -173,7 +174,15 @@ class EmbeddingTrainer:
 
     # ------------------------------------------------------------------ #
 
-    def train(self, epochs: Optional[int] = None) -> TwoTowerModel:
+    def train(
+        self,
+        epochs: Optional[int] = None,
+        resume_from: Optional[str] = None,
+    ) -> TwoTowerModel:
+        """Train; ``resume_from`` restores a full train state (params +
+        optimizer moments + epoch) written by the per-epoch checkpointing —
+        genuine mid-training resume, which the reference cannot do
+        (SURVEY.md §5.4)."""
         cfg = self.cfg
         epochs = epochs or cfg.TRAIN_EPOCHS
         batch_size = min(cfg.BATCH_SIZE, max(8, len(self.pos_users) // 2))
@@ -192,6 +201,23 @@ class EmbeddingTrainer:
             optax.adamw(schedule, weight_decay=cfg.WEIGHT_DECAY),
         )
         opt_state = tx.init(params)
+
+        start_epoch = 1
+        if resume_from:
+            from recommendit_tpu.utils.checkpoint import load_train_state
+
+            template = {
+                "params": params, "opt_state": opt_state,
+                "epoch": jnp.asarray(0), "loss": jnp.asarray(0.0),
+            }
+            state = load_train_state(resume_from, template=template)
+            params = state["params"]
+            opt_state = state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            logger.info(
+                "Resumed from %s at epoch %d (loss %.4f)",
+                resume_from, start_epoch - 1, float(state["loss"]),
+            )
         genre_table = jnp.asarray(self.genre_table)
         epoch_fn = self._make_step(tx, use_pallas, genre_table)
 
@@ -206,7 +232,7 @@ class EmbeddingTrainer:
             "Training: %d epochs x %d batches x %d batch (%s, pallas=%s)",
             epochs, n_batches, batch_size, self.loss_mode, use_pallas,
         )
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             u, i, neg = self._epoch_batches(host_rng, batch_size)
             batches = (jnp.asarray(u), jnp.asarray(i), jnp.asarray(neg))

@@ -190,6 +190,31 @@ class TestEmbeddingTrainer:
         state = load_train_state(str(tmp_path / "ckpt" / "best"))
         assert "params" in state and "opt_state" in state
 
+    def test_resume_from_checkpoint(self, synthetic_data, tmp_path):
+        """Mid-training resume restores params + optimizer state + epoch."""
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
+
+        cfg = Settings(EMBEDDING_DIM=8, HIDDEN_DIM=16, BATCH_SIZE=128,
+                       TRAIN_EPOCHS=4, USE_PALLAS=False, SEED=0)
+        t1 = EmbeddingTrainer(
+            synthetic_data, cfg,
+            model_output_path=str(tmp_path / "a.npz"),
+            ckpt_dir=str(tmp_path / "ckpt"),
+        )
+        t1.train(epochs=2)
+        assert (tmp_path / "ckpt" / "best").exists()
+
+        t2 = EmbeddingTrainer(
+            synthetic_data, cfg,
+            model_output_path=str(tmp_path / "b.npz"),
+            ckpt_dir=None,
+        )
+        t2.train(epochs=4, resume_from=str(tmp_path / "ckpt" / "best"))
+        # resumed run only executes the remaining epochs
+        epochs_run = [h["epoch"] for h in t2.history]
+        assert epochs_run[0] > 1 and epochs_run[-1] == 4
+
     def test_pairwise_mode(self, synthetic_data, tmp_path):
         from recommendit_tpu.config import Settings
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer

@@ -117,3 +117,28 @@ class TestRealServing:
         status, body, _ = app.handle("GET", "/items/1")
         assert status == 200
         assert "Synthetic Movie" in body["title"]
+
+    def test_filter_seen_excludes_rated_items(self, trained_artifacts):
+        orch, _, tmp = trained_artifacts
+        from recommendit_tpu.data.movielens import load_movielens
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        data = load_movielens(str(tmp / "ml"))
+        cfg = orch.cfg.replace(FILTER_SEEN=True)
+        p = RecommendationPipeline(
+            model_path=cfg.EMBEDDING_MODEL_PATH,
+            index_path=cfg.INDEX_PATH,
+            ranker_path=cfg.RANKER_MODEL_PATH,
+            redis_url="redis://localhost:9999",
+            data_dir=str(tmp / "ml"),
+            features_dir=str(tmp / "features"),
+            cfg=cfg,
+        )
+        p.load(data)
+        uid = int(data.ratings["user_id"].iloc[0])
+        rated = set(
+            data.ratings[data.ratings["user_id"] == uid]["item_id"].tolist()
+        )
+        recs = p.get_recommendations(uid, k=20, use_cache=False)
+        rec_ids = {r.item_id for r in recs}
+        assert not (rec_ids & rated)
