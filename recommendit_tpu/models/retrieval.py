@@ -99,16 +99,23 @@ class MIPSIndex:
             raise RuntimeError("Index not built. Call build() first.")
         k = min(k, self.n_total)
         q = _l2_normalize_np(np.asarray(queries, np.float32))
-        vals, idx = mips_topk(
-            jnp.asarray(q), self._embs, k, self.block_size, self.mode
-        )
-        ids = np.asarray(jnp.take(self._ids_dev, idx))
-        return np.asarray(vals), ids.astype(np.int64)
+        vals, ids = self.search_device(jnp.asarray(q), k)
+        return np.asarray(vals), np.asarray(ids).astype(np.int64)
 
     def search_device(self, queries: jnp.ndarray, k: int):
         """Device-to-device search (no host transfer) for jitted serving:
         returns (scores, item_ids) as jnp arrays."""
-        vals, idx = mips_topk(queries, self._embs, k, self.block_size, self.mode)
+        if self.mode == "fused":
+            import jax
+
+            from recommendit_tpu.ops.pallas_mips import mips_topk_fused
+
+            interpret = jax.devices()[0].platform != "tpu"
+            vals, idx = mips_topk_fused(queries, self._embs, k,
+                                        self.block_size, 32, interpret)
+        else:
+            vals, idx = mips_topk(queries, self._embs, k, self.block_size,
+                                  self.mode)
         return vals, jnp.take(self._ids_dev, idx)
 
     # ------------------------------------------------------------------ #

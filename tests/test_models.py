@@ -164,6 +164,15 @@ class TestMIPSIndex:
         st = idx.stats()
         assert st["n_total"] == 500 and st["recall"] == 1.0
 
+    def test_fused_mode_self_retrieval(self, built):
+        """mode='fused' routes through the Pallas kernel (interpret on CPU)
+        and still self-retrieves."""
+        _, embs, ids = built
+        fused = MIPSIndex(embedding_dim=32, block_size=128, mode="fused")
+        fused.build(embs, ids)
+        scores, got = fused.batch_search(embs[:5], k=3)
+        np.testing.assert_array_equal(got[:, 0], ids[:5])
+
 
 class TestEmbeddingTrainer:
     def test_end_to_end_small(self, synthetic_data, tmp_path):
