@@ -197,6 +197,11 @@ class RecommendationPipeline:
         from recommendit_tpu.ops.topk import fast_topk, mips_topk
 
         seen_table = self._seen_table
+        # ranker trained with the tower similarity as its 51st feature?
+        use_rscore = (
+            self.ranker.feature_names
+            and self.ranker.feature_names[-1] == "retrieval_score"
+        )
 
         @jax.jit
         def serve(user_id):
@@ -206,6 +211,8 @@ class RecommendationPipeline:
             cand_ids = jnp.take(item_ids_dev, pos)
             u_vec = user_packed[user_id]
             feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
+            if use_rscore:
+                feats = jnp.concatenate([feats, rvals[:, None]], axis=1)
             x = (feats - feat_mean) / feat_std
             scores = mlp_score(ranker_params, x)
             if seen_table is not None:
@@ -232,6 +239,8 @@ class RecommendationPipeline:
                     uv, jnp.take(item_packed, ci, axis=0)
                 )
             )(u_vecs, cand_ids)                                  # (B, C, 50)
+            if use_rscore:
+                feats = jnp.concatenate([feats, rvals[:, :, None]], axis=2)
             x = (feats - feat_mean) / feat_std
             scores = mlp_score(ranker_params, x)                 # (B, C)
             if seen_table is not None:

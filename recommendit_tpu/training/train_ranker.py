@@ -60,6 +60,9 @@ class RankerTrainer:
         test_feats = fe.build_interaction_features(test_pairs)
 
         cols = feature_columns()
+        if cfg.RANKER_USE_RETRIEVAL_SCORE:
+            tower_cols = self._add_retrieval_score(train_feats, test_feats)
+            cols = cols + tower_cols
         for df in (train_feats, test_feats):
             df.sort_values("query_id", inplace=True)
             df.dropna(subset=cols, inplace=True)
@@ -92,6 +95,45 @@ class RankerTrainer:
         for feat, imp in ranker.top_features(10):
             logger.info("importance | %-28s %.5f", feat, imp)
         return ranker
+
+    def _add_retrieval_score(self, *frames) -> list:
+        """Score each (user, item) pair with the trained two-tower model and
+        attach it as the ``retrieval_score`` column (train/serve consistent:
+        serving passes the same similarity from the MIPS search)."""
+        from pathlib import Path
+
+        from recommendit_tpu.models.two_tower import TwoTowerModel
+        from recommendit_tpu.training.train_embeddings import build_genre_table
+
+        path = self.cfg.EMBEDDING_MODEL_PATH
+        if not Path(path).exists():
+            logger.warning(
+                "RANKER_USE_RETRIEVAL_SCORE set but no tower model at %s — "
+                "skipping the retrieval_score feature", path,
+            )
+            return []
+        model = TwoTowerModel.load(path)
+        genre_table = build_genre_table(self.data.movies, model.n_items)
+        item_ids = np.arange(1, model.n_items + 1, dtype=np.int64)
+        item_embs = model.get_item_embeddings(item_ids, genre_table[1:])
+        # all user embeddings in one batched device call, then one gather+
+        # rowwise dot per frame
+        all_uids = np.arange(0, model.n_users + 1, dtype=np.int64)
+        import jax.numpy as jnp
+
+        user_embs = np.asarray(
+            model._jit_user(model.params, jnp.asarray(all_uids))
+        )
+        for df in frames:
+            uids = df["user_id"].values.astype(np.int64)
+            iids = df["item_id"].values.astype(np.int64)
+            u_ok = (uids >= 0) & (uids <= model.n_users)
+            i_ok = (iids >= 1) & (iids <= model.n_items)
+            ue = user_embs[np.where(u_ok, uids, 0)]
+            ie = item_embs[np.where(i_ok, iids, 1) - 1]
+            scores = np.einsum("nd,nd->n", ue, ie).astype(np.float32)
+            df["retrieval_score"] = np.where(u_ok & i_ok, scores, 0.0)
+        return ["retrieval_score"]
 
     def _evaluate_holdout(self, ranker, test_feats: pd.DataFrame, cols):
         """Per-query NDCG@10/20 + Recall@20 on the held-out queries
