@@ -86,6 +86,9 @@ class Settings:
 
     # --- Serving options beyond the reference ---
     FILTER_SEEN: bool = False    # exclude items the user already interacted with
+    MICRO_BATCH: bool = False    # coalesce concurrent requests into one device call
+    MICRO_BATCH_MAX: int = 256
+    MICRO_BATCH_WAIT_MS: float = 2.0
 
     # --- TPU-native knobs (no reference equivalent) ---
     MESH_DATA_AXIS: str = "data"

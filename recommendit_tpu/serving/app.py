@@ -251,6 +251,10 @@ def create_app(
         try:
             pipeline = RecommendationPipeline(cfg=cfg)
             pipeline.load()
+            if cfg.MICRO_BATCH:
+                pipeline.enable_micro_batching(
+                    cfg.MICRO_BATCH_MAX, cfg.MICRO_BATCH_WAIT_MS
+                )
         except Exception as exc:
             logger.error("Failed to load pipeline: %s", exc)
             pipeline = None

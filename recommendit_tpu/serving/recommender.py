@@ -93,6 +93,7 @@ class RecommendationPipeline:
         self._cache_misses = 0
         self._loaded = False
         self._serve_fn = None
+        self._batcher = None
 
     # alias for reference-name compatibility
     @property
@@ -262,6 +263,38 @@ class RecommendationPipeline:
         jax.block_until_ready(ids)
 
     # ------------------------------------------------------------------ #
+    # Micro-batching                                                       #
+    # ------------------------------------------------------------------ #
+
+    def enable_micro_batching(
+        self, max_batch: int = 256, max_wait_ms: float = 2.0
+    ) -> None:
+        """Coalesce concurrent requests into one fused device call.
+
+        Requests are padded to power-of-two bucket sizes so at most a few
+        executables are compiled.
+        """
+        from recommendit_tpu.serving.batcher import MicroBatcher
+
+        buckets = [b for b in (8, 32, 256, 1024) if b <= max_batch] or [max_batch]
+
+        def batch_fn(user_ids):
+            n = len(user_ids)
+            bucket = next((b for b in buckets if b >= n), buckets[-1])
+            padded = list(user_ids) + [1] * (bucket - n)
+            ids, scores, rvals = self._serve_batch_fn(
+                jnp.asarray(padded[:bucket], jnp.int32)
+            )
+            ids = np.asarray(ids)
+            scores = np.asarray(scores)
+            rvals = np.asarray(rvals)
+            return [(ids[i], scores[i], rvals[i]) for i in range(n)]
+
+        self._batcher = MicroBatcher(batch_fn, max_batch, max_wait_ms)
+        logger.info("Micro-batching enabled (max_batch=%d, wait=%.1fms)",
+                    max_batch, max_wait_ms)
+
+    # ------------------------------------------------------------------ #
     # Inference                                                            #
     # ------------------------------------------------------------------ #
 
@@ -296,9 +329,12 @@ class RecommendationPipeline:
 
         t_retr = time.time()
         try:
-            ids, scores, retr_scores = self._serve_fn(
-                jnp.asarray(user_id, jnp.int32)
-            )
+            if self._batcher is not None:
+                ids, scores, retr_scores = self._batcher.submit(user_id)
+            else:
+                ids, scores, retr_scores = self._serve_fn(
+                    jnp.asarray(user_id, jnp.int32)
+                )
             ids = np.asarray(ids)
             scores = np.asarray(scores)
             retr_scores = np.asarray(retr_scores)
