@@ -69,6 +69,7 @@ class Settings:
     SOFTMAX_TEMPERATURE: float = 0.05
 
     # --- Ranker (replaces LightGBM knobs, reference :27-29) ---
+    RANKER_TYPE: str = "mlp"             # mlp (LambdaRank MLP) | gbdt (hist GBDT)
     RANKER_HIDDEN_DIMS: Tuple[int, ...] = (128, 64)
     RANKER_EPOCHS: int = 40
     RANKER_LEARNING_RATE: float = 3e-3
@@ -80,6 +81,12 @@ class Settings:
     # reference's 50-col contract discards the retrieval signal at ranking
     # time; with it the full pipeline dominates retrieval-only).
     RANKER_USE_RETRIEVAL_SCORE: bool = True
+    # GBDT-specific knobs (mirror the reference's LightGBM surface,
+    # src/config.py:27-29)
+    GBDT_N_ESTIMATORS: int = 200
+    GBDT_LEARNING_RATE: float = 0.1
+    GBDT_MAX_DEPTH: int = 6
+    GBDT_N_BINS: int = 64
 
     # --- Skew detection (reference :30) ---
     SKEW_KL_THRESHOLD: float = 0.1

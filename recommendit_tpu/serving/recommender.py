@@ -108,9 +108,11 @@ class RecommendationPipeline:
         logger.info("Loading recommendation pipeline...")
         t0 = time.time()
 
+        from recommendit_tpu.models import load_ranker
+
         self.model = TwoTowerModel.load(self.model_path)
         self.index = MIPSIndex.load(self.index_path)
-        self.ranker = LambdaRankScorer.load(self.ranker_path)
+        self.ranker = load_ranker(self.ranker_path)
         self.feature_store = FeatureStore(
             redis_url=self.redis_url, ttl=self.cfg.FEATURE_CACHE_TTL_SECONDS
         )
@@ -188,9 +190,18 @@ class RecommendationPipeline:
         item_ids_dev = self.index._ids_dev
         user_packed = self._user_packed
         item_packed = self._item_packed
-        feat_mean = jnp.asarray(self.ranker.feat_mean)
-        feat_std = jnp.asarray(self.ranker.feat_std)
-        ranker_params = self.ranker.params
+
+        # ranker-agnostic device scorer: raw (…, F) features → (…,) scores
+        if isinstance(self.ranker, LambdaRankScorer):
+            feat_mean = jnp.asarray(self.ranker.feat_mean)
+            feat_std = jnp.asarray(self.ranker.feat_std)
+            ranker_params = self.ranker.params
+
+            def score_fn(feats):
+                return mlp_score(ranker_params, (feats - feat_mean) / feat_std)
+        else:  # HistGBDTRanker
+            score_fn = self.ranker.make_device_scorer()
+
         n_cand = min(self.top_k_candidates, self.index.n_total)
         k_out = min(MAX_K, n_cand)
         block = self.cfg.RETRIEVAL_BLOCK_ITEMS
@@ -214,8 +225,7 @@ class RecommendationPipeline:
             feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
             if use_rscore:
                 feats = jnp.concatenate([feats, rvals[:, None]], axis=1)
-            x = (feats - feat_mean) / feat_std
-            scores = mlp_score(ranker_params, x)
+            scores = score_fn(feats)
             if seen_table is not None:
                 seen = jnp.take(seen_table[user_id], cand_ids)
                 scores = jnp.where(seen, -jnp.inf, scores)
@@ -242,8 +252,7 @@ class RecommendationPipeline:
             )(u_vecs, cand_ids)                                  # (B, C, 50)
             if use_rscore:
                 feats = jnp.concatenate([feats, rvals[:, :, None]], axis=2)
-            x = (feats - feat_mean) / feat_std
-            scores = mlp_score(ranker_params, x)                 # (B, C)
+            scores = score_fn(feats)                             # (B, C)
             if seen_table is not None:
                 seen = jnp.take_along_axis(
                     jnp.take(seen_table, user_ids, axis=0), cand_ids, axis=1

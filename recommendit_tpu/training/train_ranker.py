@@ -76,16 +76,29 @@ class RankerTrainer:
         valid_df = train_feats[train_feats["query_id"].isin(valid_q)]
         fit_df = train_feats[~train_feats["query_id"].isin(valid_q)]
 
-        ranker = LambdaRankScorer(
-            hidden_dims=cfg.RANKER_HIDDEN_DIMS,
-            learning_rate=cfg.RANKER_LEARNING_RATE,
-            epochs=cfg.RANKER_EPOCHS,
-            group_size=cfg.RANKER_GROUP_SIZE,
-            label_gain=cfg.RANKER_LABEL_GAIN,
-            eval_at=cfg.RANKER_EVAL_AT,
-            early_stop_rounds=cfg.RANKER_EARLY_STOP_ROUNDS,
-            seed=cfg.SEED,
-        )
+        if cfg.RANKER_TYPE == "gbdt":
+            from recommendit_tpu.models.gbdt import HistGBDTRanker
+
+            ranker = HistGBDTRanker(
+                n_estimators=cfg.GBDT_N_ESTIMATORS,
+                learning_rate=cfg.GBDT_LEARNING_RATE,
+                max_depth=cfg.GBDT_MAX_DEPTH,
+                n_bins=cfg.GBDT_N_BINS,
+                label_gain=cfg.RANKER_LABEL_GAIN,
+                early_stop_rounds=max(10, cfg.RANKER_EARLY_STOP_ROUNDS * 4),
+                seed=cfg.SEED,
+            )
+        else:
+            ranker = LambdaRankScorer(
+                hidden_dims=cfg.RANKER_HIDDEN_DIMS,
+                learning_rate=cfg.RANKER_LEARNING_RATE,
+                epochs=cfg.RANKER_EPOCHS,
+                group_size=cfg.RANKER_GROUP_SIZE,
+                label_gain=cfg.RANKER_LABEL_GAIN,
+                eval_at=cfg.RANKER_EVAL_AT,
+                early_stop_rounds=cfg.RANKER_EARLY_STOP_ROUNDS,
+                seed=cfg.SEED,
+            )
         ranker.train(fit_df, cols, valid_df=valid_df)
 
         self.holdout_metrics = self._evaluate_holdout(ranker, test_feats, cols)
