@@ -7,8 +7,8 @@ extract; ``src/features/feature_engineering.py:39-72``: ``::``-separated
 The parser here avoids the reference's ``engine='python'`` pandas read —
 ``::`` split is done once in numpy-backed string ops, which is ~10x faster
 on the 1M-row ratings file and keeps the host side off the serving critical
-path. A native C++ parser (``native/``) can be swapped in via
-``RECOMMENDIT_NATIVE_PARSER=1`` once built.
+path. The native C++ parser (``native/``, built with ``make native``) is
+picked up automatically when its shared library is present.
 """
 from __future__ import annotations
 
@@ -17,8 +17,6 @@ import logging
 import os
 import zipfile
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

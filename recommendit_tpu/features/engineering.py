@@ -19,7 +19,6 @@ import pandas as pd
 from recommendit_tpu.data.movielens import MovieLensData, load_movielens
 from recommendit_tpu.features import schema
 from recommendit_tpu.features.schema import (
-    GENRES,
     N_GENRES,
     encode_genres_matrix,
     feature_columns,

@@ -14,7 +14,6 @@ rows across the mesh.
 """
 from __future__ import annotations
 
-import functools
 import json
 import logging
 from pathlib import Path

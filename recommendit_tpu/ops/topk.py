@@ -17,7 +17,7 @@ The distributed (sharded-corpus) variant lives in
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ over ICI):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,12 +30,7 @@ from recommendit_tpu.models.two_tower import (
 )
 from recommendit_tpu.ops.bpr import in_batch_bpr_loss_xla
 from recommendit_tpu.parallel.embedding import sharded_dual_lookup
-from recommendit_tpu.parallel.mesh import (
-    DATA_AXIS,
-    MODEL_AXIS,
-    params_shardings,
-    replicated,
-)
+from recommendit_tpu.parallel.mesh import DATA_AXIS, params_shardings
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

@@ -15,7 +15,6 @@ uvicorn/ASGI adapter is trivial to bolt on where that stack exists.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 import re
@@ -30,10 +29,7 @@ from recommendit_tpu.serving.middleware import (
     record_recommendation_metrics,
     track_request,
 )
-from recommendit_tpu.serving.recommender import (
-    RecommendationPipeline,
-    RecommendationResult,
-)
+from recommendit_tpu.serving.recommender import RecommendationPipeline
 
 logger = logging.getLogger(__name__)
 

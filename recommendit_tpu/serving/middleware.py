@@ -8,7 +8,7 @@ the serving layer never hard-depends on it.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 try:
     from prometheus_client import (

@@ -20,11 +20,10 @@ TPU-first design differences:
 """
 from __future__ import annotations
 
-import functools
 import logging
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
