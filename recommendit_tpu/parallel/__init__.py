@@ -22,3 +22,4 @@ from recommendit_tpu.parallel.train import (  # noqa: F401
     make_sharded_train_step,
     shard_params,
 )
+from recommendit_tpu.parallel.serve import make_sharded_serve_fn  # noqa: F401,E402

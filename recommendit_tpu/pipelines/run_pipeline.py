@@ -121,16 +121,25 @@ class PipelineOrchestrator:
         store.load_all_features(uf, itf)
         logger.info("Store stats: %s", store.stats())
 
-    def run_embeddings(self):
+    def run_embeddings(self, resume: bool = True):
+        """Train embeddings; auto-resumes from the last train-state
+        checkpoint when one exists (elastic recovery — a pre-empted or
+        crashed run continues instead of restarting, SURVEY.md §5.3/§5.4)."""
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
 
         data = self._load_data()
+        ckpt_dir = self.models_dir / "two_tower_ckpt"
         trainer = EmbeddingTrainer(
             data, self.cfg,
             model_output_path=self.cfg.EMBEDDING_MODEL_PATH,
-            ckpt_dir=str(self.models_dir / "two_tower_ckpt"),
+            ckpt_dir=str(ckpt_dir),
         )
-        trainer.train()
+        resume_from = None
+        best = ckpt_dir / "best"
+        if resume and best.exists():
+            logger.info("Found checkpoint at %s — resuming", best)
+            resume_from = str(best)
+        trainer.train(resume_from=resume_from)
         return trainer.history
 
     def run_index(self):

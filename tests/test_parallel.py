@@ -134,3 +134,56 @@ class TestShardedTrainStep:
         sp, so, _ = step(sp, so, (u, u), jax.random.PRNGKey(0))
         spec = sp["user_embed"].sharding.spec
         assert spec == P("model") or spec == P("model", None)
+
+
+class TestShardedServe:
+    def test_full_serve_path_on_mesh(self, mesh):
+        """The complete two-stage serve program (sharded corpus, DP users)
+        runs on the mesh and matches a single-device reference."""
+        import jax
+        from recommendit_tpu.features.schema import (
+            ITEM_PACKED_DIM,
+            USER_PACKED_DIM,
+            assemble_packed_jnp,
+        )
+        from recommendit_tpu.models.ranker import init_mlp, mlp_score
+        from recommendit_tpu.models.two_tower import init_params, user_tower
+        from recommendit_tpu.ops.topk import fast_topk, mips_topk
+        from recommendit_tpu.parallel import make_sharded_serve_fn, row_sharded
+
+        rng = np.random.default_rng(0)
+        n_users, n_items, d = 64, 128, 16
+        params = init_params(jax.random.PRNGKey(0), n_users - 1, n_items - 1,
+                             d, 32)
+        corpus = rng.normal(size=(n_items, d)).astype(np.float32)
+        corpus_dev = jax.device_put(jnp.asarray(corpus), row_sharded(mesh))
+        ids = jnp.arange(1, n_items + 1, dtype=jnp.int32)
+        user_packed = jnp.asarray(
+            rng.normal(size=(n_users, USER_PACKED_DIM)), jnp.float32)
+        item_packed = jnp.asarray(
+            rng.normal(size=(n_items + 1, ITEM_PACKED_DIM)), jnp.float32)
+        rparams = init_mlp(jax.random.PRNGKey(1), 50, (16,))
+        score_fn = lambda f: mlp_score(rparams, f)  # noqa: E731
+
+        serve = make_sharded_serve_fn(
+            mesh, params, corpus_dev, ids, user_packed, item_packed,
+            score_fn, n_candidates=32, k_out=8, block_size=32,
+        )
+        uids = jnp.asarray(rng.integers(1, n_users, size=16), jnp.int32)
+        got_ids, got_scores, got_rvals = serve(uids)
+
+        # single-device reference
+        q = user_tower(params, uids)
+        rvals, pos = mips_topk(q, jnp.asarray(corpus), 32, 32)
+        cand = jnp.take(ids, pos)
+        feats = jax.vmap(
+            lambda uv, ci: assemble_packed_jnp(
+                uv, jnp.take(item_packed, ci, axis=0))
+        )(jnp.take(user_packed, uids, axis=0), cand)
+        scores = score_fn(feats)
+        tv, sel = fast_topk(scores, 8)
+        ref_ids = jnp.take_along_axis(cand, sel, axis=1)
+
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids))
+        np.testing.assert_allclose(np.asarray(got_scores), np.asarray(tv),
+                                   atol=1e-5)
