@@ -205,6 +205,14 @@ class FeatureStore:
     ) -> None:
         self._set(f"{RECS_PREFIX}{user_id}", serialize({"recs": recommendations}), ttl)
 
+    def invalidate_recommendations(self, user_id: int) -> None:
+        """Drop a user's cached recommendations (after feature updates)."""
+        key = f"{RECS_PREFIX}{user_id}"
+        if self._use_redis:
+            self._client.delete(key)
+        else:
+            self._memory_store.pop(key, None)
+
     def get_cached_recommendations(self, user_id: int) -> Optional[List[Dict]]:
         raw = self._get(f"{RECS_PREFIX}{user_id}")
         if raw is None:

@@ -215,8 +215,13 @@ class RecommendationPipeline:
             and self.ranker.feature_names[-1] == "retrieval_score"
         )
 
+        # Packed feature tables are call-time ARGUMENTS (not closure
+        # constants) so online feature updates (update_user_features /
+        # update_item_features) take effect on the next request without
+        # recompiling — matching the reference's read-the-store-per-request
+        # freshness semantics at device speed.
         @jax.jit
-        def serve(user_id):
+        def serve(user_id, user_packed, item_packed):
             q = user_tower(params, user_id[None])
             rvals, pos = mips_topk(q, item_embs, n_cand, block)
             rvals, pos = rvals[0], pos[0]
@@ -237,7 +242,7 @@ class RecommendationPipeline:
             )
 
         @jax.jit
-        def serve_batch(user_ids):
+        def serve_batch(user_ids, user_packed, item_packed):
             """(B,) user ids → (B, k_out) ranked item ids/scores — bulk
             offline scoring; the whole two-stage pipeline for B users in
             one device program."""
@@ -265,11 +270,42 @@ class RecommendationPipeline:
                 jnp.take_along_axis(rvals, sel, axis=1),
             )
 
-        self._serve_fn = serve
-        self._serve_batch_fn = serve_batch
+        self._serve_fn = lambda uid: serve(
+            uid, self._user_packed, self._item_packed
+        )
+        self._serve_batch_fn = lambda uids: serve_batch(
+            uids, self._user_packed, self._item_packed
+        )
         # warm the compile cache so first request latency is clean
-        ids, _, _ = serve(jnp.asarray(1, jnp.int32))
+        ids, _, _ = self._serve_fn(jnp.asarray(1, jnp.int32))
         jax.block_until_ready(ids)
+
+    # ------------------------------------------------------------------ #
+    # Online feature updates                                               #
+    # ------------------------------------------------------------------ #
+
+    def update_user_features(self, user_id: int, features: Dict[str, Any]) -> None:
+        """Online user-feature update: writes the KV store (reference
+        contract) AND the device-resident packed table, and invalidates the
+        user's cached recommendations — the next request scores with the
+        fresh features."""
+        from recommendit_tpu.features.schema import user_dict_to_packed
+
+        self.feature_store.store_user_features(user_id, features)
+        if 0 <= user_id <= self._n_users:
+            vec = jnp.asarray(user_dict_to_packed(features))
+            self._user_packed = self._user_packed.at[user_id].set(vec)
+        # drop any cached recs built from the stale features
+        self.feature_store.invalidate_recommendations(user_id)
+
+    def update_item_features(self, item_id: int, features: Dict[str, Any]) -> None:
+        """Online item-feature update (store + packed table)."""
+        from recommendit_tpu.features.schema import item_dict_to_packed
+
+        self.feature_store.store_item_features(item_id, features)
+        if 0 <= item_id < self._item_packed.shape[0]:
+            vec = jnp.asarray(item_dict_to_packed(features))
+            self._item_packed = self._item_packed.at[item_id].set(vec)
 
     # ------------------------------------------------------------------ #
     # Micro-batching                                                       #

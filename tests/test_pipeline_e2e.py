@@ -118,6 +118,29 @@ class TestRealServing:
         assert status == 200
         assert "Synthetic Movie" in body["title"]
 
+    def test_online_feature_update_changes_scores(self, app):
+        """update_user_features must affect the very next request (packed
+        table freshness) and invalidate the rec cache."""
+        p = app.pipeline
+        uid = 12
+        before = p.get_recommendations(uid, k=10, use_cache=True)
+        assert p.feature_store.get_cached_recommendations(uid) is not None
+
+        p.update_user_features(uid, {
+            "avg_rating": 5.0, "log_rating_count": 8.0, "recency_score": 1.0,
+            "gender_encoded": 1.0, "age_normalized": 1.0,
+            "occupation_normalized": 1.0,
+            "genre_pref": [1.0] * 9 + [0.0] * 9,
+        })
+        # cache invalidated
+        assert p.feature_store.get_cached_recommendations(uid) is None
+        after = p.get_recommendations(uid, k=10, use_cache=False)
+        # scores must differ (features feed the ranker directly)
+        assert [r.score for r in before] != [r.score for r in after]
+        # store contract also updated
+        stored = p.feature_store.get_user_features(uid)
+        assert stored["avg_rating"] == 5.0
+
     def test_filter_seen_excludes_rated_items(self, trained_artifacts):
         orch, _, tmp = trained_artifacts
         from recommendit_tpu.data.movielens import load_movielens
