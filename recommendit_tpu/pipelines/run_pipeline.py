@@ -301,7 +301,7 @@ class PipelineOrchestrator:
     def run_all(self):
         out = None
         for stage in ["data", "features", "embeddings", "index", "ranker",
-                      "load_features", "evaluate"]:
+                      "load_features", "skew", "evaluate"]:
             out = self._timed(stage, getattr(self, f"run_{stage}"))
         logger.info("Stage times: %s",
                     {k: round(v, 2) for k, v in self.stage_times.items()})

@@ -34,6 +34,7 @@ from recommendit_tpu.serving.recommender import RecommendationPipeline
 logger = logging.getLogger(__name__)
 
 _ITEM_RE = re.compile(r"^/items/(-?\d+)$")
+_FEAT_RE = re.compile(r"^/(users|items)/(-?\d+)/features$")
 
 
 class ValidationError(Exception):
@@ -190,6 +191,31 @@ class RecommendItApp:
             "pipeline_stats": p.get_stats(),
         }
 
+    def update_features(self, kind: str, entity_id: int,
+                        body: Any) -> Tuple[int, Dict]:
+        """Online feature update (additive route beyond the reference —
+        its store is only writable offline): POST /users/{id}/features or
+        /items/{id}/features with a feature dict body."""
+        if self.pipeline is None or not self.pipeline._loaded:
+            return 503, {"detail": "Pipeline not loaded"}
+        if not isinstance(body, dict) or not body:
+            return 422, {"detail": [{"loc": ["body"],
+                                     "msg": "expected non-empty feature object",
+                                     "type": "type_error"}]}
+        if entity_id <= 0:
+            return 422, {"detail": [{"loc": ["path", "id"],
+                                     "msg": "Input should be greater than 0",
+                                     "type": "greater_than"}]}
+        try:
+            if kind == "user":
+                self.pipeline.update_user_features(entity_id, body)
+            else:
+                self.pipeline.update_item_features(entity_id, body)
+        except Exception:
+            logger.exception("Feature update failed for %s %d", kind, entity_id)
+            return 500, {"detail": "feature update failed"}
+        return 200, {"status": "updated", "kind": kind, "id": entity_id}
+
     def item(self, item_id: int) -> Tuple[int, Dict]:
         if self.pipeline is None or not self.pipeline._loaded:
             return 503, {"detail": "Pipeline not loaded"}
@@ -224,6 +250,10 @@ class RecommendItApp:
             m = _ITEM_RE.match(path)
             if method == "GET" and m:
                 return self.item(int(m.group(1)))
+            m = _FEAT_RE.match(path)
+            if method == "POST" and m:
+                kind = "user" if m.group(1) == "users" else "item"
+                return self.update_features(kind, int(m.group(2)), body)
             return 404, {"detail": "Not Found"}
 
         status, payload = track_request(method, path, dispatch)

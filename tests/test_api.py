@@ -179,6 +179,38 @@ class TestMetrics:
         assert "text/plain" in ctype
 
 
+class TestFeatureUpdates:
+    def test_user_update_routes_to_pipeline(self, app):
+        status, body, _ = app.handle(
+            "POST", "/users/7/features", {"avg_rating": 4.2}
+        )
+        assert status == 200 and body["status"] == "updated"
+        app.pipeline.update_user_features.assert_called_once_with(
+            7, {"avg_rating": 4.2}
+        )
+
+    def test_item_update_routes_to_pipeline(self, app):
+        status, _, _ = app.handle(
+            "POST", "/items/9/features", {"popularity_score": 0.5}
+        )
+        assert status == 200
+        app.pipeline.update_item_features.assert_called_once()
+
+    def test_empty_body_422(self, app):
+        status, _, _ = app.handle("POST", "/users/7/features", {})
+        assert status == 422
+
+    def test_bad_id_422(self, app):
+        status, _, _ = app.handle("POST", "/users/0/features", {"a": 1})
+        assert status == 422
+
+    def test_unloaded_503(self, degraded_app):
+        status, _, _ = degraded_app.handle(
+            "POST", "/users/7/features", {"a": 1}
+        )
+        assert status == 503
+
+
 class TestItems:
     def test_found(self, app):
         status, body, _ = app.handle("GET", "/items/101")
