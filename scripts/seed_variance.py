@@ -49,7 +49,12 @@ def main():
             synthetic=True,
             eval_users=args.eval_users,
         )
-        for stage in ("data", "features", "embeddings", "index", "ranker"):
+        # dataset + offline features are shared across seeds (built once);
+        # only the seeded model training varies
+        if seed == 0:
+            orch.run_stage("data")
+            orch.run_stage("features")
+        for stage in ("embeddings", "index", "ranker"):
             orch.run_stage(stage)
         rep = orch.run_stage("evaluate")
         reports.append(rep)
