@@ -22,6 +22,14 @@ with one exact partial-reduce top-k over the Q x (N/R) candidates.
 Reference capability replaced: FAISS IVF probe
 (``src/models/faiss_index.py:113``) — this is the full-corpus,
 no-index-build, recall-tunable TPU equivalent.
+
+STATUS (round 1): correctness fully verified in interpreter mode (7 tests,
+incl. exactness at reduction=1). On-chip compilation is quarantined in this
+environment: large-shape Mosaic compiles of the fold kernel crash the
+remote compile service and take the shared TPU tunnel down for hours
+(observed twice). The XLA path (``ops.topk``, PartialReduce-based) is the
+production route; revisit on-chip enablement with a direct (non-tunneled)
+Mosaic toolchain.
 """
 from __future__ import annotations
 
