@@ -2,9 +2,12 @@ from recommendit_tpu.ops.bpr import (  # noqa: F401
     in_batch_bpr_loss,
     in_batch_bpr_loss_xla,
     in_batch_bpr_pallas,
+    in_batch_softmax_loss,
     pairwise_bpr_loss,
 )
+from recommendit_tpu.ops.pallas_mips import mips_topk_fused  # noqa: F401
 from recommendit_tpu.ops.topk import (  # noqa: F401
+    fast_topk,
     mips_topk,
     mips_topk_dense,
     mips_topk_numpy,
