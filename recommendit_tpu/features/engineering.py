@@ -200,47 +200,84 @@ class FeatureEngineer:
         n_catalog = len(all_items)
         logger.info("Building training pairs (%d negatives/positive)...", n_negatives)
 
-        by_user = ratings_df.sort_values(["user_id", "timestamp"]).groupby("user_id")
-        frames = []
-        for user_id, group in by_user:
-            rated = set(group["item_id"].values)
-            pos_mask = group["rating"].values >= 4
-            pos_items = group["item_id"].values[pos_mask]
-            pos_ratings = group["rating"].values[pos_mask]
-            if pos_items.size == 0:
-                continue
-            n_unrated = n_catalog - len(rated)
-            n_neg = pos_items.size * n_negatives
-            if n_unrated < n_negatives:
-                continue
-            n_neg = min(n_neg, n_unrated)
+        # positives: one row per rating>=4 (vectorized)
+        rs = ratings_df.sort_values(["user_id", "timestamp"])
+        pos = rs[rs["rating"] >= 4]
+        pos_per_user = pos.groupby("user_id").size()
+        rated_per_user = rs.groupby("user_id").size()
 
-            # Rejection-sample unique unrated items.
-            chosen: List[int] = []
-            seen = set()
-            while len(chosen) < n_neg:
-                draw = rng.choice(all_items, size=2 * (n_neg - len(chosen)) + 8)
-                for it in draw:
-                    if it not in rated and it not in seen:
-                        seen.add(it)
-                        chosen.append(it)
-                        if len(chosen) == n_neg:
-                            break
-            neg_items = np.asarray(chosen[:n_neg])
+        # eligible users: at least one positive and enough unrated items
+        eligible = pos_per_user.index[
+            (n_catalog - rated_per_user.reindex(pos_per_user.index).values)
+            >= n_negatives
+        ]
+        pos = pos[pos["user_id"].isin(eligible)]
 
-            frames.append(pd.DataFrame({
-                "user_id": user_id,
-                "item_id": np.concatenate([pos_items, neg_items]),
-                "label": np.concatenate(
-                    [np.ones(pos_items.size, np.int64),
-                     np.zeros(neg_items.size, np.int64)]
-                ),
-                "rating": np.concatenate(
-                    [pos_ratings, np.zeros(neg_items.size, np.int64)]
-                ),
-            }))
+        # negatives: vectorized rejection sampling — draw uniform catalog
+        # items for every (user, slot), reject rated or duplicate draws,
+        # redraw only the rejects (a few rounds suffice)
+        n_pos_u = pos.groupby("user_id").size()
+        neg_users = np.repeat(
+            n_pos_u.index.values,
+            np.minimum(
+                n_pos_u.values * n_negatives,
+                n_catalog - rated_per_user.reindex(n_pos_u.index).values,
+            ),
+        )
+        n_neg_total = len(neg_users)
+        # integer pair keys make both the rated-membership test (sorted
+        # isin) and the within-user dedup vectorized
+        mod = np.int64(max(ratings_df["item_id"].max(), all_items.max()) + 1)
+        rated_key = np.sort(
+            ratings_df["user_id"].values.astype(np.int64) * mod
+            + ratings_df["item_id"].values.astype(np.int64)
+        )
+        neg_users = neg_users.astype(np.int64)
+        neg_items = rng.choice(all_items, size=n_neg_total).astype(np.int64)
+        bad = np.zeros(n_neg_total, bool)
+        for _ in range(20):
+            key = neg_users * mod + neg_items
+            pos_in_rated = np.searchsorted(rated_key, key)
+            pos_in_rated = np.minimum(pos_in_rated, len(rated_key) - 1)
+            bad = rated_key[pos_in_rated] == key
+            bad |= pd.Series(key).duplicated(keep="first").values
+            n_bad = int(bad.sum())
+            if n_bad == 0:
+                break
+            neg_items[bad] = rng.choice(all_items, size=n_bad)
+        if bad.any():
+            # exact fallback for users needing (nearly) all their unrated
+            # items — uniform redraw converges too slowly there
+            item_set = set(all_items.tolist())
+            rated_by_user = ratings_df.groupby("user_id")["item_id"].agg(set)
+            bad_idx = np.nonzero(bad)[0]
+            for u in np.unique(neg_users[bad_idx]):
+                u_mask = neg_users == u
+                u_bad = bad & u_mask
+                taken = set(neg_items[u_mask & ~bad].tolist())
+                avail = list(item_set - rated_by_user.get(u, set()) - taken)
+                rng.shuffle(avail)
+                slots = np.nonzero(u_bad)[0]
+                neg_items[slots] = avail[: len(slots)]
 
-        pairs_df = pd.concat(frames, ignore_index=True)
+        pairs_df = pd.concat(
+            [
+                pd.DataFrame({
+                    "user_id": pos["user_id"].values,
+                    "item_id": pos["item_id"].values,
+                    "label": np.ones(len(pos), np.int64),
+                    "rating": pos["rating"].values,
+                }),
+                pd.DataFrame({
+                    "user_id": neg_users,
+                    "item_id": neg_items,
+                    "label": np.zeros(n_neg_total, np.int64),
+                    "rating": np.zeros(n_neg_total, np.int64),
+                }),
+            ],
+            ignore_index=True,
+        ).sort_values(["user_id", "label"], ascending=[True, False],
+                      kind="stable").reset_index(drop=True)
         pairs_df["query_id"] = pairs_df["user_id"].astype("category").cat.codes
 
         unique_q = pairs_df["query_id"].unique().copy()
