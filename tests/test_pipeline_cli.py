@@ -55,6 +55,17 @@ class TestSkewStage:
         assert saved["n_features_checked"] == 50
 
 
+class TestMissingArtifacts:
+    def test_evaluate_without_models_raises_clearly(self, tmp_path):
+        orch = PipelineOrchestrator(
+            data_dir=str(tmp_path / "ml"), models_dir=str(tmp_path / "m"),
+            features_dir=str(tmp_path / "f"), synthetic=True,
+        )
+        orch.run_stage("data")
+        with pytest.raises(FileNotFoundError):
+            orch.run_stage("evaluate")
+
+
 class TestCLI:
     def test_main_features_stage(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
