@@ -141,6 +141,45 @@ class TestRealServing:
         stored = p.feature_store.get_user_features(uid)
         assert stored["avg_rating"] == 5.0
 
+    def test_gbdt_ranker_serves(self, trained_artifacts):
+        """RANKER_TYPE=gbdt trains and serves through the same fused path."""
+        orch, _, tmp = trained_artifacts
+        from recommendit_tpu.pipelines.run_pipeline import PipelineOrchestrator
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        cfg = orch.cfg.replace(RANKER_TYPE="gbdt", GBDT_N_ESTIMATORS=10,
+                               GBDT_MAX_DEPTH=3)
+        o2 = PipelineOrchestrator(
+            cfg=cfg, data_dir=str(tmp / "ml"),
+            models_dir=str(tmp / "models_gbdt"),
+            features_dir=str(tmp / "features"), synthetic=True,
+        )
+        # reuse the tower/index artifacts; only retrain the ranker
+        import shutil
+
+        (tmp / "models_gbdt").mkdir(exist_ok=True)
+        for f in ("two_tower.npz", "two_tower.npz.meta.json",
+                  "mips.index.npz", "mips.index.npz.meta.json"):
+            shutil.copy(tmp / "models" / f, tmp / "models_gbdt" / f)
+        o2.run_stage("ranker")
+
+        p = RecommendationPipeline(
+            model_path=str(tmp / "models_gbdt" / "two_tower.npz"),
+            index_path=str(tmp / "models_gbdt" / "mips.index.npz"),
+            ranker_path=str(tmp / "models_gbdt" / "ranker.npz"),
+            redis_url="redis://localhost:9999",
+            data_dir=str(tmp / "ml"), features_dir=str(tmp / "features"),
+            cfg=cfg,
+        )
+        p.load()
+        from recommendit_tpu.models.gbdt import HistGBDTRanker
+
+        assert isinstance(p.ranker, HistGBDTRanker)
+        recs = p.get_recommendations(5, k=7, use_cache=False)
+        assert len(recs) == 7
+        scores = [r.score for r in recs]
+        assert scores == sorted(scores, reverse=True)
+
     def test_filter_seen_excludes_rated_items(self, trained_artifacts):
         orch, _, tmp = trained_artifacts
         from recommendit_tpu.data.movielens import load_movielens
