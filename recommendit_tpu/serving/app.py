@@ -191,6 +191,35 @@ class RecommendItApp:
             "pipeline_stats": p.get_stats(),
         }
 
+    def recommend_batch(self, body: Any) -> Tuple[int, Dict]:
+        """Bulk recommendation (additive route): {"user_ids": [...], "k": n}
+        → ranked item-id lists per user via the batched device path."""
+        if self.pipeline is None or not self.pipeline._loaded:
+            return 503, {"detail": "Recommendation pipeline not available"}
+        if not isinstance(body, dict):
+            return 422, {"detail": [{"loc": ["body"], "msg": "expected JSON object",
+                                     "type": "type_error"}]}
+        user_ids = body.get("user_ids")
+        k = body.get("k", self.cfg.TOP_K_RESULTS)
+        if (not isinstance(user_ids, list) or not user_ids
+                or len(user_ids) > 4096
+                or not all(isinstance(u, int) and not isinstance(u, bool)
+                           and u > 0 for u in user_ids)):
+            return 422, {"detail": [{"loc": ["body", "user_ids"],
+                                     "msg": "expected 1-4096 positive ints",
+                                     "type": "value_error"}]}
+        if not isinstance(k, int) or isinstance(k, bool) or not 1 <= k <= 100:
+            return 422, {"detail": [{"loc": ["body", "k"],
+                                     "msg": "Input should be between 1 and 100",
+                                     "type": "range"}]}
+        t0 = time.perf_counter()
+        recs = self.pipeline.batch_recommend(user_ids, k=k)
+        return 200, {
+            "recommendations": {str(u): recs[u] for u in user_ids},
+            "latency_ms": round((time.perf_counter() - t0) * 1000, 2),
+            "n_users": len(user_ids),
+        }
+
     def update_features(self, kind: str, entity_id: int,
                         body: Any) -> Tuple[int, Dict]:
         """Online feature update (additive route beyond the reference —
@@ -243,6 +272,8 @@ class RecommendItApp:
                     return self.recommend(body)
                 except ValidationError as ve:
                     return 422, {"detail": ve.errors}
+            if method == "POST" and path == "/recommend/batch":
+                return self.recommend_batch(body)
             if method == "GET" and path == "/metrics":
                 return 200, middleware.generate_latest().decode("utf-8")
             if method == "GET" and path == "/model/info":

@@ -179,6 +179,37 @@ class TestMetrics:
         assert "text/plain" in ctype
 
 
+class TestRecommendBatch:
+    def test_bulk(self, app):
+        app.pipeline.batch_recommend.side_effect = lambda uids, k: {
+            u: list(range(100, 100 + k)) for u in uids
+        }
+        status, body, _ = app.handle(
+            "POST", "/recommend/batch", {"user_ids": [1, 2, 3], "k": 4}
+        )
+        assert status == 200
+        assert body["n_users"] == 3
+        assert body["recommendations"]["2"] == [100, 101, 102, 103]
+
+    @pytest.mark.parametrize("payload", [
+        {},
+        {"user_ids": []},
+        {"user_ids": [0]},
+        {"user_ids": ["a"]},
+        {"user_ids": [1], "k": 0},
+        {"user_ids": [1], "k": 101},
+    ])
+    def test_validation(self, app, payload):
+        status, _, _ = app.handle("POST", "/recommend/batch", payload)
+        assert status == 422
+
+    def test_unloaded_503(self, degraded_app):
+        status, _, _ = degraded_app.handle(
+            "POST", "/recommend/batch", {"user_ids": [1]}
+        )
+        assert status == 503
+
+
 class TestFeatureUpdates:
     def test_user_update_routes_to_pipeline(self, app):
         status, body, _ = app.handle(

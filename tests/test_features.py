@@ -253,6 +253,31 @@ class TestDatRoundTrip:
         ).all()
 
 
+class TestJsonSerializationFallback:
+    def test_roundtrip_without_msgpack(self, monkeypatch):
+        """The store must round-trip via JSON when msgpack is absent
+        (reference serialization contract, feature_store.py:30-55)."""
+        from recommendit_tpu.features import store as store_mod
+
+        monkeypatch.setattr(store_mod, "MSGPACK_AVAILABLE", False)
+        data = {"avg_rating": 3.5, "genre_pref": np.arange(3, dtype=np.float32),
+                "count": np.int64(7)}
+        raw = store_mod.serialize(data)
+        assert raw.startswith(b"{")  # JSON, not msgpack
+        out = store_mod.deserialize(raw)
+        assert out["avg_rating"] == 3.5
+        assert out["genre_pref"] == [0.0, 1.0, 2.0]
+        assert out["count"] == 7
+
+    def test_msgpack_bytes_readable_after_fallback_toggle(self, monkeypatch):
+        """Data written with msgpack must still deserialize when msgpack is
+        available (mixed-format stores)."""
+        from recommendit_tpu.features import store as store_mod
+
+        raw = store_mod.serialize({"a": 1})
+        assert store_mod.deserialize(raw) == {"a": 1}
+
+
 class TestParquetRoundTrip:
     def test_save_load_identity(self, engineered_features, tmp_path):
         fe = engineered_features
