@@ -275,7 +275,35 @@ def bench_bpr_train(jnp, jax):
     }
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Run a trivial device op with a watchdog — the shared TPU tunnel
+    occasionally wedges (even jit(x*2) hangs for hours); failing fast with
+    a clear message beats hanging the caller."""
+    import threading
+
+    ok = [False]
+
+    def work():
+        import jax
+        import jax.numpy as jnp
+
+        y = jax.jit(lambda a: a * 2)(jnp.ones((8, 8)))
+        jax.block_until_ready(y)
+        ok[0] = True
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
 def main():
+    if not _probe_device():
+        log("FATAL: device unreachable (TPU tunnel wedged — trivial jit did "
+            "not complete in 300s). See RESULTS.md for the last verified "
+            "numbers and CLAUDE.md for the tunnel failure mode.")
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
