@@ -28,7 +28,6 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 DEFAULT_LABEL_GAIN = (0.0, 1.0, 3.0, 7.0, 15.0)
-_EPS = 1e-12
 
 
 # ------------------------------------------------------------------ #
@@ -140,7 +139,7 @@ def _make_grad_fn():
 # ------------------------------------------------------------------ #
 
 class _Tree:
-    __slots__ = ("feature", "bin_threshold", "left", "right", "value")
+    __slots__ = ("feature", "bin_threshold", "left", "right", "value", "gain")
 
     def __init__(self, max_nodes: int):
         self.feature = np.full(max_nodes, -1, np.int32)
@@ -148,6 +147,7 @@ class _Tree:
         self.left = np.zeros(max_nodes, np.int32)
         self.right = np.zeros(max_nodes, np.int32)
         self.value = np.zeros(max_nodes, np.float32)
+        self.gain = np.zeros(max_nodes, np.float32)
 
 
 def _grow_tree(
@@ -160,7 +160,6 @@ def _grow_tree(
     min_child: int,
     reg_lambda: float,
     feature_idx: np.ndarray,
-    rng: np.random.Generator,
 ) -> _Tree:
     max_nodes = 2 ** (max_depth + 1)
     tree = _Tree(max_nodes)
@@ -202,6 +201,7 @@ def _grow_tree(
         next_free[0] += 2
         tree.feature[node_id] = best_f
         tree.bin_threshold[node_id] = best_b
+        tree.gain[node_id] = best_gain
         tree.left[node_id] = li
         tree.right[node_id] = ri
         split_node(li, r[mask], depth + 1)
@@ -251,7 +251,6 @@ class HistGBDTRanker:
         self.trees: List[_Tree] = []
         self.best_iteration = 0
         self._trained = False
-        self._split_gain_importance: Optional[np.ndarray] = None
 
     @property
     def n_features(self) -> int:
@@ -324,7 +323,6 @@ class HistGBDTRanker:
             valid = (self._bin(Xv, fit=False), gv, ov, np.zeros(len(Xv)))
 
         rng = np.random.default_rng(self.seed)
-        self._split_gain_importance = np.zeros(f)
         evals = {"train_ndcg@10": [], "valid_ndcg@10": []}
         best_metric, patience = -np.inf, 0
         logger.info(
@@ -364,7 +362,7 @@ class HistGBDTRanker:
                                    replace=False)
             tree = _grow_tree(
                 binned, grad, hess, rows, self.n_bins, self.max_depth,
-                self.min_child_samples, self.reg_lambda, feats, rng,
+                self.min_child_samples, self.reg_lambda, feats,
             )
             self.trees.append(tree)
             scores += self.learning_rate * self._predict_tree(tree, binned)
@@ -496,14 +494,17 @@ class HistGBDTRanker:
     # ------------------------------------------------------------------ #
 
     def feature_importance(self) -> Dict[str, float]:
-        """Split-count importance (how often each feature was chosen)."""
+        """Gain importance — total split gain per feature, normalized
+        (LightGBM's importance_type="gain" semantics,
+        reference ranker.py:180-188)."""
         if not self._trained:
             raise RuntimeError("Booster not trained.")
-        counts = np.zeros(self.n_features)
+        gains = np.zeros(self.n_features)
         for t in self.trees:
-            used = t.feature[t.feature >= 0]
-            np.add.at(counts, used, 1)
-        return dict(zip(self.feature_names, (counts / max(counts.sum(), 1)).tolist()))
+            mask = t.feature >= 0
+            np.add.at(gains, t.feature[mask], t.gain[mask])
+        total = max(gains.sum(), 1e-12)
+        return dict(zip(self.feature_names, (gains / total).tolist()))
 
     def top_features(self, n: int = 10) -> List[Tuple[str, float]]:
         return sorted(self.feature_importance().items(),
@@ -516,7 +517,8 @@ class HistGBDTRanker:
         p.parent.mkdir(parents=True, exist_ok=True)
         arrays = {}
         for i, t in enumerate(self.trees):
-            for attr in ("feature", "bin_threshold", "left", "right", "value"):
+            for attr in ("feature", "bin_threshold", "left", "right",
+                         "value", "gain"):
                 arrays[f"t{i}_{attr}"] = getattr(t, attr)
         np.savez(p, bin_edges=self.bin_edges, **arrays)
         meta = {
@@ -550,8 +552,9 @@ class HistGBDTRanker:
             for i in range(meta["n_trees"]):
                 t = _Tree(len(data[f"t{i}_feature"]))
                 for attr in ("feature", "bin_threshold", "left", "right",
-                             "value"):
-                    getattr(t, attr)[:] = data[f"t{i}_{attr}"]
+                             "value", "gain"):
+                    if f"t{i}_{attr}" in data:
+                        getattr(t, attr)[:] = data[f"t{i}_{attr}"]
                 model.trees.append(t)
         model._trained = True
         return model
