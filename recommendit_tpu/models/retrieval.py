@@ -41,10 +41,17 @@ class MIPSIndex:
         embedding_dim: int = 64,
         block_size: int = 4096,
         mode: str = "exact",
+        dtype: str = "float32",
     ):
+        """Args:
+            dtype: corpus storage dtype — 'float32' or 'bfloat16'
+                (bfloat16 halves HBM for large corpora; scores still
+                accumulate in f32 on the MXU).
+        """
         self.embedding_dim = embedding_dim
         self.block_size = block_size
         self.mode = mode
+        self.dtype = dtype
         self.item_ids: Optional[np.ndarray] = None       # (N,) int64
         self._embs: Optional[jnp.ndarray] = None          # (N, D) on device
         self._ids_dev: Optional[jnp.ndarray] = None
@@ -65,7 +72,8 @@ class MIPSIndex:
             raise ValueError("item_ids and embeddings length mismatch")
         embs = _l2_normalize_np(np.asarray(embeddings, np.float32))
         self.item_ids = np.asarray(item_ids, np.int64)
-        self._embs = jnp.asarray(embs)
+        dev_dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        self._embs = jnp.asarray(embs, dev_dtype)
         self._ids_dev = jnp.asarray(self.item_ids, jnp.int32)
         logger.info(
             "Built exact MIPS index: %d items, dim %d", len(item_ids),
@@ -126,13 +134,15 @@ class MIPSIndex:
         p.parent.mkdir(parents=True, exist_ok=True)
         np.savez(
             p,
-            embeddings=np.asarray(self._embs),
+            # persist as f32 regardless of device dtype (npz has no bf16)
+            embeddings=np.asarray(self._embs, np.float32),
             item_ids=self.item_ids,
         )
         meta = {
             "embedding_dim": self.embedding_dim,
             "block_size": self.block_size,
             "mode": self.mode,
+            "dtype": self.dtype,
             "n_total": self.n_total,
         }
         Path(str(p) + ".meta.json").write_text(json.dumps(meta))
@@ -148,6 +158,7 @@ class MIPSIndex:
             embedding_dim=meta["embedding_dim"],
             block_size=meta["block_size"],
             mode=meta["mode"],
+            dtype=meta.get("dtype", "float32"),
         )
         with np.load(p) as data:
             idx.build(data["embeddings"], data["item_ids"])
@@ -164,5 +175,6 @@ class MIPSIndex:
             "embedding_dim": self.embedding_dim,
             "block_size": self.block_size,
             "mode": self.mode,
+            "dtype": self.dtype,
             "recall": 1.0 if self.mode == "exact" else None,
         }

@@ -151,6 +151,33 @@ class RecommendationPipeline:
         recomputes from raw data otherwise, and bulk-loads the store so the
         online KV contract stays warm.
         """
+        n_users = max(self.model.n_users, data.n_users)
+        n_items = max(self.model.n_items, data.n_items)
+
+        # Fast path: binary packed-table snapshot (written on first load) —
+        # startup skips the pandas feature recompute entirely.
+        snap_u = snap_i = None
+        if self.features_dir:
+            snap_u = Path(self.features_dir) / "user_packed.npy"
+            snap_i = Path(self.features_dir) / "item_packed.npy"
+            parquet = Path(self.features_dir) / "user_features.parquet"
+            snapshot_fresh = (
+                snap_u.exists() and snap_i.exists()
+                and (not parquet.exists()
+                     or snap_u.stat().st_mtime >= parquet.stat().st_mtime)
+            )
+            if snapshot_fresh:
+                up = np.load(snap_u, mmap_mode="r")
+                ip = np.load(snap_i, mmap_mode="r")
+                if up.shape[0] >= n_users + 1 and ip.shape[0] >= n_items + 1:
+                    self._user_packed = jnp.asarray(up[: n_users + 1])
+                    self._item_packed = jnp.asarray(ip[: n_items + 1])
+                    self._n_users = n_users
+                    logger.info("Loaded packed feature snapshot from %s",
+                                self.features_dir)
+                    self._maybe_build_seen(data, n_users, n_items)
+                    return
+
         fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
         fe.set_data(data)
         if self.features_dir and Path(self.features_dir).exists():
@@ -159,16 +186,18 @@ class RecommendationPipeline:
             fe.build_user_features()
             fe.build_item_features()
 
-        n_users = max(self.model.n_users, data.n_users)
-        n_items = max(self.model.n_items, data.n_items)
-        self._user_packed = jnp.asarray(
-            pack_user_features(fe.user_features, n_users)
-        )
-        self._item_packed = jnp.asarray(
-            pack_item_features(fe.item_features, n_items)
-        )
+        user_packed = pack_user_features(fe.user_features, n_users)
+        item_packed = pack_item_features(fe.item_features, n_items)
+        if snap_u is not None:
+            snap_u.parent.mkdir(parents=True, exist_ok=True)
+            np.save(snap_u, user_packed)
+            np.save(snap_i, item_packed)
+        self._user_packed = jnp.asarray(user_packed)
+        self._item_packed = jnp.asarray(item_packed)
         self._n_users = n_users
+        self._maybe_build_seen(data, n_users, n_items)
 
+    def _maybe_build_seen(self, data, n_users: int, n_items: int) -> None:
         self._seen_table = None
         if self.cfg.FILTER_SEEN:
             # dense (n_users+1, n_items+1) seen mask; fine to ~10^4 x 10^4

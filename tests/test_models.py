@@ -164,6 +164,30 @@ class TestMIPSIndex:
         st = idx.stats()
         assert st["n_total"] == 500 and st["recall"] == 1.0
 
+    def test_bfloat16_corpus(self, built):
+        """bf16 corpus storage: half the HBM, recall preserved at top-k
+        (scores still accumulate in f32)."""
+        _, embs, ids = built
+        bf = MIPSIndex(embedding_dim=32, block_size=128, dtype="bfloat16")
+        bf.build(embs, ids)
+        s32, i32 = built[0].batch_search(embs[:10], k=10)
+        s16, i16 = bf.batch_search(embs[:10], k=10)
+        # self-retrieval must survive quantization
+        np.testing.assert_array_equal(i16[:, 0], ids[:10])
+        # top-10 overlap stays high
+        overlap = np.mean([
+            len(set(i32[r]) & set(i16[r])) / 10 for r in range(10)
+        ])
+        assert overlap > 0.8
+        # dtype survives save/load
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            bf.save(f"{d}/i.npz")
+            re = MIPSIndex.load(f"{d}/i.npz")
+            assert re.dtype == "bfloat16"
+            assert str(re._embs.dtype) == "bfloat16"
+
     def test_fused_mode_self_retrieval(self, built):
         """mode='fused' routes through the Pallas kernel (interpret on CPU)
         and still self-retrieves."""

@@ -141,6 +141,33 @@ class TestRealServing:
         stored = p.feature_store.get_user_features(uid)
         assert stored["avg_rating"] == 5.0
 
+    def test_packed_snapshot_speeds_second_load(self, trained_artifacts):
+        """First load writes the packed snapshot; a second load uses it and
+        produces identical recommendations."""
+        orch, _, tmp = trained_artifacts
+        from pathlib import Path
+
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        def mk():
+            p = RecommendationPipeline(
+                model_path=orch.cfg.EMBEDDING_MODEL_PATH,
+                index_path=orch.cfg.INDEX_PATH,
+                ranker_path=orch.cfg.RANKER_MODEL_PATH,
+                redis_url="redis://localhost:9999",
+                data_dir=str(tmp / "ml"), features_dir=str(tmp / "features"),
+                cfg=orch.cfg,
+            )
+            p.load()
+            return p
+
+        p1 = mk()
+        assert (Path(tmp / "features") / "user_packed.npy").exists()
+        p2 = mk()  # snapshot path
+        r1 = [r.item_id for r in p1.get_recommendations(5, k=8, use_cache=False)]
+        r2 = [r.item_id for r in p2.get_recommendations(5, k=8, use_cache=False)]
+        assert r1 == r2
+
     def test_gbdt_ranker_serves(self, trained_artifacts):
         """RANKER_TYPE=gbdt trains and serves through the same fused path."""
         orch, _, tmp = trained_artifacts
