@@ -234,6 +234,35 @@ class TestFeatureStore:
         assert "genre_vector" in out and "title" in out
 
 
+class TestSyntheticData:
+    def test_deterministic_by_seed(self):
+        from recommendit_tpu.data.synthetic import make_synthetic_movielens
+
+        a = make_synthetic_movielens(n_users=30, n_items=40, n_ratings=500,
+                                     seed=7)
+        b = make_synthetic_movielens(n_users=30, n_items=40, n_ratings=500,
+                                     seed=7)
+        pd.testing.assert_frame_equal(a.ratings, b.ratings)
+        pd.testing.assert_frame_equal(a.movies, b.movies)
+        c = make_synthetic_movielens(n_users=30, n_items=40, n_ratings=500,
+                                     seed=8)
+        assert not a.ratings.equals(c.ratings)
+
+    def test_download_raises_cleanly_offline(self, tmp_path, monkeypatch):
+        """Zero-egress environments get an actionable error, not a stack of
+        socket noise (reference data/download.py:45-67 contract)."""
+        import urllib.request
+
+        from recommendit_tpu.data.movielens import download_movielens
+
+        def no_network(*a, **k):
+            raise OSError("network unreachable")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", no_network)
+        with pytest.raises(RuntimeError, match="synthetic"):
+            download_movielens(str(tmp_path))
+
+
 class TestDatRoundTrip:
     def test_timestamps_survive_save_load(self, synthetic_data, tmp_path):
         """Regression: datetime64[s] series must round-trip through the
