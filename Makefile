@@ -90,3 +90,12 @@ clean:
 # ---- native ----------------------------------------------------------- #
 native:
 	$(MAKE) -C native
+
+variance:
+	$(CPU_ENV) $(PY) scripts/seed_variance.py --seeds 3
+
+scale-smoke:
+	$(MESH_ENV) $(PY) scripts/scale_smoke.py --config ml25m
+
+load-test:
+	$(PY) scripts/load_test.py --url http://localhost:$${API_PORT:-8000}
