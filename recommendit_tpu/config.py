@@ -77,6 +77,10 @@ class Settings:
     RANKER_EVAL_AT: Tuple[int, ...] = (5, 10, 20)
     RANKER_LABEL_GAIN: Tuple[float, ...] = (0.0, 1.0, 3.0, 7.0, 15.0)
     RANKER_EARLY_STOP_ROUNDS: int = 5
+    # Group loss: lambdarank | lambdaloss (NDCG-Loss2) | softmax (listwise)
+    RANKER_LOSS_TYPE: str = "lambdarank"
+    # Additionally standardize features within each query/candidate set
+    RANKER_QUERY_NORM: bool = False
     # Feed the two-tower similarity to the ranker as a 51st feature (the
     # reference's 50-col contract discards the retrieval signal at ranking
     # time; with it the full pipeline dominates retrieval-only).

@@ -102,14 +102,89 @@ def lambdarank_loss(
     return pair_loss.sum() / n_pairs
 
 
-def batched_lambdarank_loss(params, x, gains, mask):
-    """(B, G, F) groups → mean LambdaRank loss over groups with pairs."""
+def lambdaloss_ndcg2(
+    scores: jnp.ndarray,       # (G,)
+    gains: jnp.ndarray,        # (G,)
+    mask: jnp.ndarray,         # (G,)
+) -> jnp.ndarray:
+    """NDCG-Loss2 from the LambdaLoss framework (Wang et al., CIKM'18).
+
+    Same pairwise logistic structure as :func:`lambdarank_loss` but the pair
+    weight uses the *rank-difference* discount gap
+    ``|1/log2(1+|ri-rj|) - 1/log2(2+|ri-rj|)|`` — a tighter bound on NDCG
+    than the LambdaRank heuristic; often a small but consistent lift."""
+    g = scores.shape[0]
+    neg_inf = jnp.asarray(-1e9, scores.dtype)
+    masked_scores = jnp.where(mask > 0, scores, neg_inf)
+
+    order = jnp.argsort(-jax.lax.stop_gradient(masked_scores))
+    ranks = jnp.zeros((g,), jnp.float32).at[order].set(
+        jnp.arange(1, g + 1, dtype=jnp.float32)
+    )
+
+    sorted_gains = jnp.sort(jnp.where(mask > 0, gains, 0.0))[::-1]
+    ideal_disc = 1.0 / jnp.log2(2.0 + jnp.arange(g, dtype=jnp.float32))
+    idcg = jnp.maximum((sorted_gains * ideal_disc).sum(), 1e-9)
+
+    s_diff = masked_scores[:, None] - masked_scores[None, :]
+    gain_diff = gains[:, None] - gains[None, :]
+    pair_valid = (
+        (gain_diff > 0) & (mask[:, None] > 0) & (mask[None, :] > 0)
+    ).astype(jnp.float32)
+
+    rank_dist = jnp.abs(ranks[:, None] - ranks[None, :])
+    delta = jnp.abs(
+        1.0 / jnp.log2(1.0 + jnp.maximum(rank_dist, 1.0))
+        - 1.0 / jnp.log2(2.0 + rank_dist)
+    )
+    weight = jnp.abs(gain_diff) * delta / idcg
+    pair_loss = jax.nn.softplus(-s_diff) * weight * pair_valid
+    n_pairs = jnp.maximum(pair_valid.sum(), 1.0)
+    return pair_loss.sum() / n_pairs
+
+
+def softmax_listwise_loss(
+    scores: jnp.ndarray,       # (G,)
+    gains: jnp.ndarray,        # (G,)
+    mask: jnp.ndarray,         # (G,)
+) -> jnp.ndarray:
+    """Listwise softmax cross-entropy (ListNet top-1 with graded gains):
+    target distribution ∝ gains, O(G) instead of O(G²) pairs."""
+    neg_inf = jnp.asarray(-1e9, scores.dtype)
+    masked_scores = jnp.where(mask > 0, scores, neg_inf)
+    log_probs = jax.nn.log_softmax(masked_scores)
+    pos_gain = gains * mask
+    total = jnp.maximum(pos_gain.sum(), 1e-9)
+    return -(pos_gain / total * jnp.where(mask > 0, log_probs, 0.0)).sum()
+
+
+GROUP_LOSSES = {
+    "lambdarank": lambdarank_loss,
+    "lambdaloss": lambdaloss_ndcg2,
+    "softmax": softmax_listwise_loss,
+}
+
+
+def batched_group_loss(params, x, gains, mask, loss_type: str = "lambdarank"):
+    """(B, G, F) groups → mean group loss over groups with usable labels."""
     scores = mlp_score(params, x)
-    losses = jax.vmap(lambdarank_loss)(scores, gains, mask)
-    has_pairs = (jax.vmap(lambda g, m: ((g[:, None] - g[None, :]) > 0).any())(
-        jnp.where(mask > 0, gains, 0.0), mask
-    )).astype(jnp.float32)
-    return (losses * has_pairs).sum() / jnp.maximum(has_pairs.sum(), 1.0)
+    loss_fn = GROUP_LOSSES[loss_type]
+    losses = jax.vmap(loss_fn)(scores, gains, mask)
+    # A group contributes only if it has both a positive-gain and a
+    # lower-gain item (pairwise) / any positive gain (listwise).
+    if loss_type == "softmax":
+        usable = jax.vmap(lambda g, m: ((g * m) > 0).any())(gains, mask)
+    else:
+        usable = jax.vmap(
+            lambda g, m: ((g[:, None] - g[None, :]) > 0).any()
+        )(jnp.where(mask > 0, gains, 0.0), mask)
+    usable = usable.astype(jnp.float32)
+    return (losses * usable).sum() / jnp.maximum(usable.sum(), 1.0)
+
+
+def batched_lambdarank_loss(params, x, gains, mask):
+    """Backward-compatible alias for ``loss_type='lambdarank'``."""
+    return batched_group_loss(params, x, gains, mask, "lambdarank")
 
 
 def group_ndcg_at_k(scores, gains, mask, k: int):
@@ -124,6 +199,22 @@ def group_ndcg_at_k(scores, gains, mask, k: int):
     sorted_gains = jnp.sort(jnp.where(mask > 0, gains, 0.0))[::-1]
     idcg = (sorted_gains * disc * within_k).sum()
     return jnp.where(idcg > 0, dcg / jnp.maximum(idcg, 1e-9), 0.0), idcg > 0
+
+
+def per_query_normalize(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Standardize each feature within its query group (host-side,
+    vectorized with bincount/add.at — no per-query Python loop)."""
+    n_q = int(q.max()) + 1 if len(q) else 0
+    counts = np.maximum(
+        np.bincount(q, minlength=n_q).astype(np.float32), 1.0
+    )[:, None]
+    sums = np.zeros((n_q, X.shape[1]), np.float32)
+    np.add.at(sums, q, X)
+    means = sums / counts
+    sq = np.zeros_like(sums)
+    np.add.at(sq, q, (X - means[q]) ** 2)
+    std = np.sqrt(sq / counts) + 1e-6
+    return (X - means[q]) / std[q]
 
 
 # ------------------------------------------------------------------ #
@@ -190,7 +281,14 @@ class LambdaRankScorer:
         early_stop_rounds: int = 5,
         batch_groups: int = 256,
         seed: int = 0,
+        loss_type: str = "lambdarank",
+        query_norm: bool = False,
     ):
+        if loss_type not in GROUP_LOSSES:
+            raise ValueError(
+                f"loss_type must be one of {sorted(GROUP_LOSSES)}, "
+                f"got {loss_type!r}"
+            )
         self.feature_names = feature_names
         self.hidden_dims = tuple(hidden_dims)
         self.learning_rate = learning_rate
@@ -201,6 +299,12 @@ class LambdaRankScorer:
         self.early_stop_rounds = early_stop_rounds
         self.batch_groups = batch_groups
         self.seed = seed
+        self.loss_type = loss_type
+        # Per-candidate-set normalization: additionally center/scale each
+        # feature WITHIN its query group (train) / candidate set (predict).
+        # Makes the scorer see relative standing among the candidates —
+        # the quantity that actually decides a re-rank.
+        self.query_norm = query_norm
 
         self.params: Optional[Dict] = None
         self.feat_mean: Optional[np.ndarray] = None
@@ -238,6 +342,8 @@ class LambdaRankScorer:
         self.feat_mean = X.mean(axis=0)
         self.feat_std = X.std(axis=0) + 1e-6
         Xn = (X - self.feat_mean) / self.feat_std
+        if self.query_norm:
+            Xn = per_query_normalize(Xn, q)
 
         host_rng = np.random.default_rng(self.seed)
         xs, gs, ms = pack_groups(
@@ -253,6 +359,8 @@ class LambdaRankScorer:
         if valid_df is not None:
             Xv, yv, qv = self._extract(valid_df, feature_cols, label_col, query_col)
             Xvn = (Xv - self.feat_mean) / self.feat_std
+            if self.query_norm:
+                Xvn = per_query_normalize(Xvn, qv)
             valid_packed = tuple(
                 jnp.asarray(a)
                 for a in pack_groups(Xvn, yv, qv, self.group_size,
@@ -270,13 +378,15 @@ class LambdaRankScorer:
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(schedule))
         opt_state = tx.init(params)
 
+        loss_type = self.loss_type
+
         @jax.jit
         def epoch_fn(params, opt_state, xb, gb, mb):
             def step(carry, batch):
                 params, opt_state = carry
-                loss, grads = jax.value_and_grad(batched_lambdarank_loss)(
-                    params, *batch
-                )
+                loss, grads = jax.value_and_grad(
+                    lambda p, x, g, m: batched_group_loss(p, x, g, m, loss_type)
+                )(params, *batch)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
@@ -346,14 +456,25 @@ class LambdaRankScorer:
     # ------------------------------------------------------------------ #
 
     def predict(self, features) -> np.ndarray:
-        """Score a feature frame/array (reference ``ranker.py:161-178``)."""
+        """Score a feature frame/array (reference ``ranker.py:161-178``).
+
+        With ``query_norm``: a frame with a ``query_id`` column is
+        normalized per query; otherwise the whole input is treated as ONE
+        candidate set (the serving case: 500 candidates of one request)."""
         if not self._trained:
             raise RuntimeError("Ranker not trained. Call train() or load().")
+        q = None
         if hasattr(features, "columns"):
+            if self.query_norm and "query_id" in features.columns:
+                _, q = np.unique(features["query_id"].values, return_inverse=True)
             X = features[self.feature_names].values.astype(np.float32)
         else:
             X = np.asarray(features, np.float32)
         Xn = (X - self.feat_mean) / self.feat_std
+        if self.query_norm:
+            if q is None:
+                q = np.zeros(len(Xn), dtype=np.int64)
+            Xn = per_query_normalize(Xn, q)
         return np.asarray(self._predict_jit(self.params, jnp.asarray(Xn)))
 
     @property
@@ -369,6 +490,27 @@ class LambdaRankScorer:
 
     def standardize_device(self, x: jnp.ndarray) -> jnp.ndarray:
         return (x - jnp.asarray(self.feat_mean)) / jnp.asarray(self.feat_std)
+
+    def make_device_scorer(self):
+        """Raw (…, C, F) candidate features → (…, C) scores, closure-safe
+        for the fused jitted serve path (same interface as
+        ``HistGBDTRanker.make_device_scorer``). Applies global
+        standardization and, when trained with ``query_norm``, per-
+        candidate-set normalization over the C axis."""
+        params = self.params
+        mean = jnp.asarray(self.feat_mean)
+        std = jnp.asarray(self.feat_std)
+        qn = self.query_norm
+
+        def score(x: jnp.ndarray) -> jnp.ndarray:
+            h = (x - mean) / std
+            if qn:
+                m = h.mean(axis=-2, keepdims=True)
+                s = h.std(axis=-2, keepdims=True) + 1e-6
+                h = (h - m) / s
+            return mlp_score(params, h)
+
+        return score
 
     # ------------------------------------------------------------------ #
 
@@ -406,6 +548,8 @@ class LambdaRankScorer:
             "eval_at": list(self.eval_at),
             "group_size": self.group_size,
             "best_iteration": self.best_iteration,
+            "loss_type": self.loss_type,
+            "query_norm": self.query_norm,
         }
         Path(str(p) + ".meta.json").write_text(json.dumps(meta))
         logger.info("Saved ranker to %s", p)
@@ -422,6 +566,8 @@ class LambdaRankScorer:
             label_gain=meta["label_gain"],
             eval_at=meta["eval_at"],
             group_size=meta["group_size"],
+            loss_type=meta.get("loss_type", "lambdarank"),
+            query_norm=meta.get("query_norm", False),
         )
         with np.load(p) as data:
             scorer.feat_mean = data["feat_mean"]
@@ -441,7 +587,8 @@ class LambdaRankScorer:
         n_params = sum(int(np.prod(v.shape)) for v in self.params.values())
         return {
             "trained": True,
-            "model_type": "lambdarank-mlp",
+            "model_type": f"{self.loss_type}-mlp",
+            "query_norm": self.query_norm,
             "n_features": self.n_features,
             "hidden_dims": list(self.hidden_dims),
             "n_parameters": n_params,

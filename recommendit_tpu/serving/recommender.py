@@ -34,7 +34,7 @@ from recommendit_tpu.features.schema import (
     pack_user_features,
 )
 from recommendit_tpu.features.store import FeatureStore
-from recommendit_tpu.models.ranker import LambdaRankScorer, mlp_score
+from recommendit_tpu.models.ranker import LambdaRankScorer
 from recommendit_tpu.models.retrieval import MIPSIndex
 from recommendit_tpu.models.two_tower import TwoTowerModel, user_tower
 from recommendit_tpu.utils.latency import LatencyTracker
@@ -220,16 +220,11 @@ class RecommendationPipeline:
         user_packed = self._user_packed
         item_packed = self._item_packed
 
-        # ranker-agnostic device scorer: raw (…, F) features → (…,) scores
-        if isinstance(self.ranker, LambdaRankScorer):
-            feat_mean = jnp.asarray(self.ranker.feat_mean)
-            feat_std = jnp.asarray(self.ranker.feat_std)
-            ranker_params = self.ranker.params
-
-            def score_fn(feats):
-                return mlp_score(ranker_params, (feats - feat_mean) / feat_std)
-        else:  # HistGBDTRanker
-            score_fn = self.ranker.make_device_scorer()
+        # ranker-agnostic device scorer: raw (…, C, F) candidate features →
+        # (…, C) scores (both ranker families expose make_device_scorer; the
+        # MLP one also applies query_norm over the candidate axis when the
+        # ranker was trained with it)
+        score_fn = self.ranker.make_device_scorer()
 
         n_cand = min(self.top_k_candidates, self.index.n_total)
         k_out = min(MAX_K, n_cand)

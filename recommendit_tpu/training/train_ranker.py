@@ -98,6 +98,8 @@ class RankerTrainer:
                 eval_at=cfg.RANKER_EVAL_AT,
                 early_stop_rounds=cfg.RANKER_EARLY_STOP_ROUNDS,
                 seed=cfg.SEED,
+                loss_type=cfg.RANKER_LOSS_TYPE,
+                query_norm=cfg.RANKER_QUERY_NORM,
             )
         ranker.train(fit_df, cols, valid_df=valid_df)
 

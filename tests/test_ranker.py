@@ -160,3 +160,117 @@ class TestLambdaRankScorer:
         r, _ = trained
         assert r.best_iteration >= 1
         assert len(r.evals_result["valid_ndcg@10"]) >= r.best_iteration
+
+
+class TestLossVariants:
+    """New group losses (lambdaloss NDCG-Loss2, listwise softmax) and
+    per-candidate-set normalization."""
+
+    @pytest.mark.parametrize("loss_type", ["lambdaloss", "softmax"])
+    def test_variant_learns_ranking(self, loss_type):
+        df = make_ranker_data()
+        valid = make_ranker_data(n_queries=10, seed=1)
+        r = LambdaRankScorer(hidden_dims=(32, 16), epochs=15, group_size=32,
+                             learning_rate=1e-2, seed=0, loss_type=loss_type)
+        r.train(df, FEATURES, valid_df=valid, verbose_eval=100)
+        test = make_ranker_data(n_queries=10, seed=9)
+        test = test.copy()
+        test["score"] = r.predict(test)
+        from recommendit_tpu.evaluation.metrics import ndcg_at_k
+
+        ndcgs = []
+        for _, g in test.groupby("query_id"):
+            ranked = g.sort_values("score", ascending=False)["item_id"].tolist()
+            rel = g[g["label"] == 1]["item_id"].tolist()
+            ndcgs.append(ndcg_at_k(ranked, rel, 10))
+        assert np.mean(ndcgs) > 0.6
+
+    def test_variant_ordering_properties(self):
+        from recommendit_tpu.models.ranker import (
+            lambdaloss_ndcg2,
+            softmax_listwise_loss,
+        )
+
+        gains = jnp.asarray([3.0, 1.0, 0.0, 0.0])
+        mask = jnp.ones(4)
+        good = jnp.asarray([3.0, 2.0, 1.0, 0.0])
+        bad = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+        for fn in (lambdaloss_ndcg2, softmax_listwise_loss):
+            assert float(fn(good, gains, mask)) < float(fn(bad, gains, mask))
+
+    def test_softmax_mask_ignores_padding(self):
+        from recommendit_tpu.models.ranker import softmax_listwise_loss
+
+        gains = jnp.asarray([1.0, 0.0, 5.0, 5.0])
+        scores = jnp.asarray([2.0, 1.0, -3.0, 7.0])
+        mask = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        l1 = softmax_listwise_loss(scores, gains, mask)
+        l2 = softmax_listwise_loss(
+            jnp.asarray([2.0, 1.0, 50.0, -50.0]),
+            jnp.asarray([1.0, 0.0, 9.0, 9.0]),
+            mask,
+        )
+        assert float(l1) == pytest.approx(float(l2), abs=1e-5)
+
+    def test_unknown_loss_raises(self):
+        with pytest.raises(ValueError):
+            LambdaRankScorer(loss_type="bogus")
+
+
+class TestQueryNorm:
+    def test_per_query_normalize_stats(self):
+        from recommendit_tpu.models.ranker import per_query_normalize
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(3.0, 5.0, size=(60, 4)).astype(np.float32)
+        q = np.repeat(np.arange(3), 20)
+        Xn = per_query_normalize(X, q)
+        for qid in range(3):
+            block = Xn[q == qid]
+            assert np.allclose(block.mean(axis=0), 0.0, atol=1e-4)
+            assert np.allclose(block.std(axis=0), 1.0, atol=1e-3)
+
+    def test_query_norm_train_predict_save_load(self, tmp_path):
+        df = make_ranker_data()
+        r = LambdaRankScorer(hidden_dims=(16,), epochs=5, group_size=32,
+                             seed=0, query_norm=True, loss_type="softmax")
+        r.train(df, FEATURES, verbose_eval=100)
+        test = make_ranker_data(n_queries=4, seed=3)
+        s1 = r.predict(test)
+        assert s1.shape == (len(test),)
+        p = tmp_path / "r.npz"
+        r.save(str(p))
+        r2 = LambdaRankScorer.load(str(p))
+        assert r2.query_norm and r2.loss_type == "softmax"
+        assert np.allclose(r2.predict(test), s1, atol=1e-5)
+
+    def test_device_scorer_matches_host_single_set(self):
+        """make_device_scorer on one candidate set == predict (no query col)."""
+        df = make_ranker_data(n_queries=6)
+        r = LambdaRankScorer(hidden_dims=(16,), epochs=4, group_size=32,
+                             seed=0, query_norm=True)
+        r.train(df, FEATURES, verbose_eval=100)
+        one_set = make_ranker_data(n_queries=1, seed=5)
+        host = r.predict(one_set[FEATURES].values)
+        dev = np.asarray(
+            r.make_device_scorer()(
+                jnp.asarray(one_set[FEATURES].values.astype(np.float32))
+            )
+        )
+        assert np.allclose(host, dev, atol=1e-4)
+
+    def test_device_scorer_batched_axis(self):
+        """(B, C, F) scoring normalizes over C independently per row."""
+        df = make_ranker_data(n_queries=6)
+        r = LambdaRankScorer(hidden_dims=(16,), epochs=4, group_size=32,
+                             seed=0, query_norm=True)
+        r.train(df, FEATURES, verbose_eval=100)
+        rng = np.random.default_rng(1)
+        batch = rng.normal(size=(3, 20, 10)).astype(np.float32)
+        fn = r.make_device_scorer()
+        out = np.asarray(fn(jnp.asarray(batch)))
+        rows = np.stack(
+            [np.asarray(fn(jnp.asarray(batch[i]))) for i in range(3)]
+        )
+        assert out.shape == (3, 20)
+        assert np.allclose(out, rows, atol=1e-5)
