@@ -106,6 +106,9 @@ class Settings:
     MESH_MODEL_AXIS: str = "model"
     RETRIEVAL_BLOCK_ITEMS: int = 2048    # item block per streaming top-k step
     RETRIEVAL_BLOCK_QUERIES: int = 256   # query tile for the MIPS kernel
+    # corpus storage dtype: float32 | bfloat16 (half HBM) | int8 (quarter
+    # HBM + int8 MXU path, stochastic-rounding per-row quantization)
+    INDEX_DTYPE: str = "float32"
     USE_PALLAS: bool = True              # use fused kernels when on TPU
     COMPUTE_DTYPE: str = "float32"       # 'bfloat16' on large configs
 

@@ -6,9 +6,15 @@ from recommendit_tpu.ops.bpr import (  # noqa: F401
     pairwise_bpr_loss,
 )
 from recommendit_tpu.ops.pallas_mips import mips_topk_fused  # noqa: F401
+from recommendit_tpu.ops.quantize import (  # noqa: F401
+    dequantize_int8,
+    quantize_int8_jnp,
+    quantize_int8_pallas,
+)
 from recommendit_tpu.ops.topk import (  # noqa: F401
     fast_topk,
     mips_topk,
     mips_topk_dense,
+    mips_topk_int8,
     mips_topk_numpy,
 )

@@ -215,7 +215,6 @@ class RecommendationPipeline:
         assemble 50 cols → standardize → MLP scores → top-MAX_K.
         """
         params = self.model.params
-        item_embs = self.index._embs
         item_ids_dev = self.index._ids_dev
         user_packed = self._user_packed
         item_packed = self._item_packed
@@ -228,9 +227,10 @@ class RecommendationPipeline:
 
         n_cand = min(self.top_k_candidates, self.index.n_total)
         k_out = min(MAX_K, n_cand)
-        block = self.cfg.RETRIEVAL_BLOCK_ITEMS
+        # dtype/mode-agnostic retrieval closure (f32/bf16/int8, fused)
+        retrieve = self.index.make_device_searcher(n_cand)
 
-        from recommendit_tpu.ops.topk import fast_topk, mips_topk
+        from recommendit_tpu.ops.topk import fast_topk
 
         seen_table = self._seen_table
         # ranker trained with the tower similarity as its 51st feature?
@@ -247,7 +247,7 @@ class RecommendationPipeline:
         @jax.jit
         def serve(user_id, user_packed, item_packed):
             q = user_tower(params, user_id[None])
-            rvals, pos = mips_topk(q, item_embs, n_cand, block)
+            rvals, pos = retrieve(q)
             rvals, pos = rvals[0], pos[0]
             cand_ids = jnp.take(item_ids_dev, pos)
             u_vec = user_packed[user_id]
@@ -271,7 +271,7 @@ class RecommendationPipeline:
             offline scoring; the whole two-stage pipeline for B users in
             one device program."""
             q = user_tower(params, user_ids)
-            rvals, pos = mips_topk(q, item_embs, n_cand, block)
+            rvals, pos = retrieve(q)
             cand_ids = jnp.take(item_ids_dev, pos)              # (B, C)
             u_vecs = jnp.take(user_packed, user_ids, axis=0)    # (B, 24)
             feats = jax.vmap(

@@ -53,6 +53,8 @@ class IndexBuilder:
         index = MIPSIndex(
             embedding_dim=model.embed_dim,
             block_size=self.cfg.RETRIEVAL_BLOCK_ITEMS,
+            dtype=self.cfg.INDEX_DTYPE,
+            quant_seed=self.cfg.SEED,
         )
         index.build(embs, item_ids)
         index.save(self.index_output_path)
