@@ -1,4 +1,5 @@
 from recommendit_tpu.parallel.embedding import (  # noqa: F401
+    bucketed_embedding_lookup,
     sharded_dual_lookup,
     sharded_embedding_lookup,
 )

@@ -72,6 +72,88 @@ def sharded_embedding_lookup(
     return fn(table, ids)
 
 
+def _ring_lookup_shard(
+    table_shard: jnp.ndarray,
+    ids_slice: jnp.ndarray,
+    axis: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """Per-shard ring body: this shard's (B/n,) id packet circulates the
+    model-axis ring; each hop gathers the hosting shard's local rows into
+    the packet's accumulator. After n hops the packet is home and full."""
+    rows, dim = table_shard.shape
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def gather_local(ids):
+        shard = jax.lax.axis_index(axis)
+        local = ids - shard * rows
+        ok = (local >= 0) & (local < rows)
+        emb = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
+        return jnp.where(ok[:, None], emb, 0.0)
+
+    def step(carry, _):
+        ids, acc = carry
+        acc = acc + gather_local(ids)
+        ids = jax.lax.ppermute(ids, axis, perm)
+        acc = jax.lax.ppermute(acc, axis, perm)
+        return (ids, acc), None
+
+    init = (
+        ids_slice,
+        jnp.zeros((ids_slice.shape[0], dim), table_shard.dtype),
+    )
+    (_, acc), _ = jax.lax.scan(step, init, None, length=n_shards)
+    return acc
+
+
+def bucketed_embedding_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    replicate_out: bool = False,
+) -> jnp.ndarray:
+    """All-to-all-style lookup for LARGE batches (ROADMAP §6; the
+    ``masked-psum`` default wins at small B).
+
+    The batch is split into n equal packets along the model axis; each
+    packet rides the ICI ring once, collecting rows from every table
+    shard it visits. Per-chip collective bytes: ~B·D (packets) vs the
+    masked-psum's ~2·B·D all-reduce, and each hop moves only (B/n, D) —
+    so the exchange overlaps with the next hop's gather. Static shapes
+    throughout (no per-owner bucket counts — the visit order replaces
+    data-dependent routing), hence exact: no MoE-style capacity drops.
+
+    Returns (B, D) sharded P(axis) over the batch dim (each shard holds
+    its packet) unless ``replicate_out`` — which all-gathers and costs the
+    saved bandwidth back; prefer consuming the sharded output directly in
+    model-parallel compute.
+
+    B must divide the model-axis size (pad via ``pad_to_multiple``).
+    """
+    n = mesh.shape[axis]
+    if ids.shape[0] % n != 0:
+        raise ValueError(
+            f"batch {ids.shape[0]} must divide model axis {n}; "
+            "pad with parallel.mesh.pad_to_multiple"
+        )
+
+    def body(t, i):
+        out = _ring_lookup_shard(t, i, axis, n)
+        if replicate_out:
+            out = jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        return out
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P() if replicate_out else P(axis, None),
+        check_vma=False,
+    )
+    return fn(table, ids)
+
+
 def sharded_dual_lookup(
     user_table: jnp.ndarray,
     item_table: jnp.ndarray,

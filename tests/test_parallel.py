@@ -187,3 +187,72 @@ class TestShardedServe:
         np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids))
         np.testing.assert_allclose(np.asarray(got_scores), np.asarray(tv),
                                    atol=1e-5)
+
+
+class TestBucketedLookup:
+    """Ring all-to-all lookup variant for large batches (ROADMAP §6)."""
+
+    def test_matches_dense_take(self, mesh):
+        from recommendit_tpu.parallel import bucketed_embedding_lookup
+
+        rng = np.random.default_rng(2)
+        table = rng.normal(size=(64, 16)).astype(np.float32)
+        ids = rng.integers(0, 64, size=32)  # 32 % 4 == 0
+        t = jax.device_put(jnp.asarray(table), row_sharded(mesh))
+        out = bucketed_embedding_lookup(t, jnp.asarray(ids), mesh,
+                                        replicate_out=True)
+        np.testing.assert_allclose(np.asarray(out), table[ids], atol=1e-6)
+
+    def test_sharded_out_matches(self, mesh):
+        from recommendit_tpu.parallel import bucketed_embedding_lookup
+
+        rng = np.random.default_rng(3)
+        table = rng.normal(size=(32, 8)).astype(np.float32)
+        ids = rng.integers(0, 32, size=16)
+        t = jax.device_put(jnp.asarray(table), row_sharded(mesh))
+        out = bucketed_embedding_lookup(t, jnp.asarray(ids), mesh)
+        np.testing.assert_allclose(np.asarray(out), table[ids], atol=1e-6)
+
+    def test_matches_masked_psum(self, mesh):
+        from recommendit_tpu.parallel import bucketed_embedding_lookup
+
+        rng = np.random.default_rng(4)
+        table = rng.normal(size=(64, 4)).astype(np.float32)
+        ids = rng.integers(0, 64, size=64)
+        t = jax.device_put(jnp.asarray(table), row_sharded(mesh))
+        a = bucketed_embedding_lookup(t, jnp.asarray(ids), mesh,
+                                      replicate_out=True)
+        b = sharded_embedding_lookup(t, jnp.asarray(ids), mesh)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_gradient_matches_dense(self, mesh):
+        from recommendit_tpu.parallel import bucketed_embedding_lookup
+
+        rng = np.random.default_rng(5)
+        table = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 32, size=16))
+        cot = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+
+        def dense(t):
+            return (jnp.take(t, ids, axis=0) * cot).sum()
+
+        def ring(t):
+            return (
+                bucketed_embedding_lookup(t, ids, mesh, replicate_out=True)
+                * cot
+            ).sum()
+
+        g_dense = jax.grad(dense)(table)
+        t_sharded = jax.device_put(table, row_sharded(mesh))
+        g_ring = jax.grad(ring)(t_sharded)
+        np.testing.assert_allclose(
+            np.asarray(g_ring), np.asarray(g_dense), atol=1e-5
+        )
+
+    def test_indivisible_batch_raises(self, mesh):
+        from recommendit_tpu.parallel import bucketed_embedding_lookup
+
+        table = jnp.zeros((32, 4))
+        t = jax.device_put(table, row_sharded(mesh))
+        with pytest.raises(ValueError, match="divide"):
+            bucketed_embedding_lookup(t, jnp.zeros(30, jnp.int32), mesh)
