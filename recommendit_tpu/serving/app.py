@@ -147,7 +147,15 @@ class RecommendItApp:
             results = self.pipeline.get_recommendations(
                 user_id=req["user_id"], k=req["k"], use_cache=req["use_cache"]
             )
-        except Exception:
+        except Exception as exc:
+            from recommendit_tpu.serving.batcher import QueueFullError
+
+            if isinstance(exc, QueueFullError):
+                # micro-batcher backpressure → shed load
+                return 429, {
+                    "detail": "Server overloaded — retry shortly",
+                    "retry_after_ms": 50,
+                }
             logger.exception("Recommendation error for user %d", req["user_id"])
             results = self.pipeline._popularity_recommendations(req["k"])
 

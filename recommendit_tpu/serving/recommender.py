@@ -407,7 +407,14 @@ class RecommendationPipeline:
             ids = np.asarray(ids)
             scores = np.asarray(scores)
             retr_scores = np.asarray(retr_scores)
-        except Exception:
+        except Exception as exc:
+            from recommendit_tpu.serving.batcher import QueueFullError
+
+            if isinstance(exc, QueueFullError):
+                # backpressure is a load signal, not a failure — let the
+                # HTTP layer shed it (429) instead of masking it with the
+                # popularity fallback
+                raise
             logger.exception("Serve path failed for user %d", user_id)
             return self._popularity_recommendations(k)
         device_ms = (time.time() - t_retr) * 1000
@@ -496,4 +503,9 @@ class RecommendationPipeline:
             "retrieval_p99_ms": round(self.retrieval_latency.p99, 2),
             "ranking_p50_ms": round(self.ranking_latency.p50, 2),
             "ranking_p99_ms": round(self.ranking_latency.p99, 2),
+            **(
+                {"micro_batcher": self._batcher.stats}
+                if self._batcher is not None
+                else {}
+            ),
         }

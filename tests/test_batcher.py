@@ -141,3 +141,83 @@ class TestPipelineIntegration:
             t.join(timeout=30)
         assert got == expected
         batched._batcher.close()
+
+
+class TestBackpressureAndDeadlines:
+    def test_queue_full_raises(self):
+        import threading
+
+        from recommendit_tpu.serving.batcher import MicroBatcher, QueueFullError
+
+        release = threading.Event()
+
+        def slow_fn(ids):
+            release.wait(5.0)
+            return [i * 2 for i in ids]
+
+        b = MicroBatcher(slow_fn, max_batch=2, max_wait_ms=1.0, max_queue=3)
+        try:
+            # saturate: dispatch thread grabs up to 2, queue holds 3 more
+            threads = [
+                threading.Thread(target=lambda: b.submit(1, timeout=5.0))
+                for _ in range(5)
+            ]
+            for t in threads:
+                t.start()
+            time.sleep(0.3)  # let the queue fill
+            with pytest.raises(QueueFullError):
+                b.submit(99, timeout=5.0)
+            assert b.requests_rejected == 1
+            release.set()
+            for t in threads:
+                t.join(timeout=5.0)
+        finally:
+            release.set()
+            b.close()
+
+    def test_expired_requests_never_reach_device(self):
+        import threading
+
+        from recommendit_tpu.serving.batcher import MicroBatcher
+
+        seen = []
+        release = threading.Event()
+        first_in = threading.Event()
+
+        def fn(ids):
+            first_in.set()
+            release.wait(5.0)
+            seen.extend(ids)
+            return [i for i in ids]
+
+        b = MicroBatcher(fn, max_batch=1, max_wait_ms=0.5)
+        try:
+            # occupy the dispatch thread with a long call
+            t1 = threading.Thread(target=lambda: b.submit(1, timeout=5.0))
+            t1.start()
+            assert first_in.wait(2.0)
+            # this one expires while the thread is busy
+            with pytest.raises(TimeoutError):
+                b.submit(2, timeout=0.2)
+            time.sleep(0.1)
+            release.set()
+            t1.join(timeout=5.0)
+            time.sleep(0.3)  # let the loop drain the expired entry
+            assert 2 not in seen
+            assert b.requests_expired >= 1
+        finally:
+            release.set()
+            b.close()
+
+    def test_stats_surface(self):
+        from recommendit_tpu.serving.batcher import MicroBatcher
+
+        b = MicroBatcher(lambda ids: ids, max_batch=4)
+        try:
+            assert b.submit(7, timeout=2.0) == 7
+            st = b.stats
+            assert st["requests_served"] == 1
+            assert st["requests_rejected"] == 0
+            assert "queue_depth" in st and "requests_expired" in st
+        finally:
+            b.close()
