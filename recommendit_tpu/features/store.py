@@ -76,6 +76,7 @@ class FeatureStore:
         self._client: Optional[Any] = None
         self._memory_store: Dict[str, bytes] = {}
         self._use_redis = False
+        self._snapshot = None
         self._connect()
 
     def _connect(self) -> None:
@@ -121,7 +122,11 @@ class FeatureStore:
 
     def get_user_features(self, user_id: int) -> Optional[Dict[str, Any]]:
         raw = self._get(f"{USER_FEATURE_PREFIX}{user_id}")
-        return deserialize(raw) if raw is not None else None
+        if raw is not None:
+            return deserialize(raw)
+        if self._snapshot is not None:
+            return self._snapshot.user_dict(user_id)
+        return None
 
     # --- item features ---------------------------------------------- #
 
@@ -130,17 +135,36 @@ class FeatureStore:
 
     def get_item_features(self, item_id: int) -> Optional[Dict[str, Any]]:
         raw = self._get(f"{ITEM_FEATURE_PREFIX}{item_id}")
-        return deserialize(raw) if raw is not None else None
+        if raw is not None:
+            return deserialize(raw)
+        if self._snapshot is not None:
+            return self._snapshot.item_dict(item_id)
+        return None
 
     def get_item_features_batch(
         self, item_ids: List[int]
     ) -> Dict[int, Optional[Dict[str, Any]]]:
         keys = [f"{ITEM_FEATURE_PREFIX}{i}" for i in item_ids]
         raws = self._mget(keys)
-        return {
+        out = {
             i: (deserialize(r) if r is not None else None)
             for i, r in zip(item_ids, raws)
         }
+        if self._snapshot is not None:
+            for i in item_ids:
+                if out[i] is None:
+                    out[i] = self._snapshot.item_dict(i)
+        return out
+
+    # --- zero-copy snapshot backing ---------------------------------- #
+
+    def attach_snapshot(self, snapshot) -> None:
+        """Back the store with a read-only mmap'd
+        :class:`~recommendit_tpu.features.snapshot.FeatureSnapshot`:
+        KV reads that miss fall through to the snapshot, so warm startup
+        needs NO bulk load — writes still land in the KV layer and shadow
+        the snapshot (online freshness wins)."""
+        self._snapshot = snapshot
 
     # --- bulk load --------------------------------------------------- #
 

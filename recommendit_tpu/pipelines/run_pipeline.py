@@ -119,6 +119,13 @@ class PipelineOrchestrator:
         uf = pd.read_parquet(Path(self.features_dir) / "user_features.parquet")
         itf = pd.read_parquet(Path(self.features_dir) / "item_features.parquet")
         store.load_all_features(uf, itf)
+        # zero-copy snapshot alongside the KV load: serving processes mmap
+        # this and skip the bulk load entirely on warm starts
+        from recommendit_tpu.features.snapshot import write_snapshot_from_frames
+
+        write_snapshot_from_frames(
+            str(Path(self.features_dir) / "features.fsnap"), uf, itf
+        )
         logger.info("Store stats: %s", store.stats())
 
     def run_embeddings(self, resume: bool = True):

@@ -116,6 +116,13 @@ class RecommendationPipeline:
         self.feature_store = FeatureStore(
             redis_url=self.redis_url, ttl=self.cfg.FEATURE_CACHE_TTL_SECONDS
         )
+        if self.features_dir:
+            fsnap = Path(self.features_dir) / "features.fsnap"
+            if fsnap.exists():
+                from recommendit_tpu.features.snapshot import FeatureSnapshot
+
+                self.feature_store.attach_snapshot(FeatureSnapshot(str(fsnap)))
+                logger.info("Feature store backed by snapshot %s", fsnap)
 
         if data is None:
             data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
