@@ -5,8 +5,11 @@ PY ?= python
 DATA_DIR ?= data/ml-1m
 MODELS_DIR ?= models
 FEATURES_DIR ?= data/features
-CPU_ENV = JAX_PLATFORMS=cpu
-MESH_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+# JAX_PLATFORMS=cpu alone is NOT enough here: a sitecustomize TPU plugin
+# (PALLAS_AXON_POOL_IPS) pre-imports jax onto the remote chip — unset it
+# (CLAUDE.md "Environment gotchas").
+CPU_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
+MESH_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
 .PHONY: help data features load-features embeddings index ranker evaluate \
         train all serve test test-features test-models test-api test-parallel \
@@ -99,3 +102,9 @@ scale-smoke:
 
 load-test:
 	$(PY) scripts/load_test.py --url http://localhost:$${API_PORT:-8000}
+
+ctr:  ## Criteo-style jointly-trained two-stage CTR config (BASELINE #5)
+	$(PY) scripts/ctr_train.py --examples 500000 --epochs 5
+
+ctr-smoke:
+	$(CPU_ENV) $(PY) scripts/ctr_train.py --examples 50000 --users 2000 --items 1000 --epochs 3

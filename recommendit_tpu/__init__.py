@@ -34,6 +34,9 @@ def __getattr__(name):
         "create_app": "recommendit_tpu.serving.app",
         "make_synthetic_movielens": "recommendit_tpu.data.synthetic",
         "load_movielens": "recommendit_tpu.data.movielens",
+        "CTRModel": "recommendit_tpu.models.ctr",
+        "CTRTrainer": "recommendit_tpu.training.train_ctr",
+        "make_ctr_dataset": "recommendit_tpu.data.ctr",
     }
     if name in _exports:
         return getattr(import_module(_exports[name]), name)

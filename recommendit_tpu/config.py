@@ -95,6 +95,19 @@ class Settings:
     # --- Skew detection (reference :30) ---
     SKEW_KL_THRESHOLD: float = 0.1
 
+    # --- Criteo-style CTR config (BASELINE config #5; no reference
+    # equivalent — green-field model family) ---
+    CTR_EMBED_DIM: int = 16
+    CTR_RETRIEVAL_DIM: int = 32
+    CTR_TOP_HIDDEN: Tuple[int, ...] = (256, 128)
+    CTR_EPOCHS: int = 5
+    CTR_BATCH_SIZE: int = 4096
+    CTR_LEARNING_RATE: float = 2e-3
+    CTR_JOINT: bool = True               # end-to-end two-stage (towers share
+    # the stacked embedding table with the DLRM ranker)
+    CTR_RETRIEVAL_WEIGHT: float = 0.5    # lambda on the in-batch softmax term
+    CTR_SOFTMAX_TEMPERATURE: float = 0.1
+
     # --- Serving options beyond the reference ---
     FILTER_SEEN: bool = False    # exclude items the user already interacted with
     MICRO_BATCH: bool = False    # coalesce concurrent requests into one device call

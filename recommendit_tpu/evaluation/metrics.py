@@ -25,6 +25,46 @@ logger = logging.getLogger(__name__)
 
 
 # ------------------------------------------------------------------ #
+# Binary-classification metrics (CTR task, BASELINE config #5)         #
+# ------------------------------------------------------------------ #
+
+
+def binary_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """ROC AUC via the rank-sum (Mann-Whitney U) statistic, tie-aware.
+
+    O(N log N); no reference equivalent (the reference has no CTR task).
+    Returns 0.5 when either class is empty.
+    """
+    labels = np.asarray(labels, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    n_pos = float(labels.sum())
+    n_neg = float(len(labels) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ranks over ties
+    sorted_scores = scores[order]
+    _, inv, counts = np.unique(sorted_scores, return_inverse=True,
+                               return_counts=True)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    avg = (csum[:-1] + csum[1:] + 1) / 2.0
+    ranks[order] = avg[inv]
+    rank_pos = ranks[labels > 0.5].sum()
+    u = rank_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def binary_logloss(labels: np.ndarray, probs: np.ndarray,
+                   eps: float = 1e-12) -> float:
+    """Mean negative log-likelihood of Bernoulli labels."""
+    labels = np.asarray(labels, dtype=np.float64)
+    p = np.clip(np.asarray(probs, dtype=np.float64), eps, 1.0 - eps)
+    return float(-np.mean(labels * np.log(p) + (1 - labels) * np.log(1 - p)))
+
+
+# ------------------------------------------------------------------ #
 # Core per-list metrics                                                #
 # ------------------------------------------------------------------ #
 

@@ -1,6 +1,7 @@
 import json
 from pathlib import Path
 
+from recommendit_tpu.models.ctr import CTRModel  # noqa: F401
 from recommendit_tpu.models.gbdt import HistGBDTRanker  # noqa: F401
 from recommendit_tpu.models.ranker import LambdaRankScorer  # noqa: F401
 from recommendit_tpu.models.retrieval import MIPSIndex  # noqa: F401

@@ -24,3 +24,8 @@ from recommendit_tpu.parallel.train import (  # noqa: F401
     shard_params,
 )
 from recommendit_tpu.parallel.serve import make_sharded_serve_fn  # noqa: F401,E402
+from recommendit_tpu.parallel.ctr import (  # noqa: F401
+    init_ctr_sharded_state,
+    make_ctr_sharded_train_step,
+    shard_ctr_params,
+)
