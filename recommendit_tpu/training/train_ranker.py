@@ -56,6 +56,8 @@ class RankerTrainer:
         train_pairs, test_pairs = fe.build_training_pairs(
             n_negatives=cfg.N_NEGATIVES, seed=cfg.SEED
         )
+        if cfg.RANKER_HARD_NEG_FRAC > 0.0:
+            train_pairs = self._mine_hard_negatives(train_pairs)
         train_feats = fe.build_interaction_features(train_pairs)
         test_feats = fe.build_interaction_features(test_pairs)
 
@@ -111,10 +113,12 @@ class RankerTrainer:
             logger.info("importance | %-28s %.5f", feat, imp)
         return ranker
 
-    def _add_retrieval_score(self, *frames) -> list:
-        """Score each (user, item) pair with the trained two-tower model and
-        attach it as the ``retrieval_score`` column (train/serve consistent:
-        serving passes the same similarity from the MIPS search)."""
+    def _load_tower_embeddings(self):
+        """(model, user_embs (n_users+1, D), item_embs (n_items, D)) from
+        the trained two-tower checkpoint, or None if absent. Cached — the
+        hard-negative miner and the retrieval_score feature share it."""
+        if getattr(self, "_tower_cache", None) is not None:
+            return self._tower_cache
         from pathlib import Path
 
         from recommendit_tpu.models.two_tower import TwoTowerModel
@@ -122,23 +126,94 @@ class RankerTrainer:
 
         path = self.cfg.EMBEDDING_MODEL_PATH
         if not Path(path).exists():
-            logger.warning(
-                "RANKER_USE_RETRIEVAL_SCORE set but no tower model at %s — "
-                "skipping the retrieval_score feature", path,
-            )
-            return []
+            return None
         model = TwoTowerModel.load(path)
         genre_table = build_genre_table(self.data.movies, model.n_items)
         item_ids = np.arange(1, model.n_items + 1, dtype=np.int64)
         item_embs = model.get_item_embeddings(item_ids, genre_table[1:])
-        # all user embeddings in one batched device call, then one gather+
-        # rowwise dot per frame
-        all_uids = np.arange(0, model.n_users + 1, dtype=np.int64)
         import jax.numpy as jnp
 
+        all_uids = np.arange(0, model.n_users + 1, dtype=np.int64)
         user_embs = np.asarray(
             model._jit_user(model.params, jnp.asarray(all_uids))
         )
+        self._tower_cache = (model, user_embs, item_embs)
+        return self._tower_cache
+
+    def _mine_hard_negatives(self, pairs: pd.DataFrame) -> pd.DataFrame:
+        """Replace a fraction of each query's uniform negatives with the
+        retrieval model's top-scoring UNRATED items for that user.
+
+        Uniform negatives are trivially separable (the tower already ranks
+        them low), so a ranker trained on them learns little beyond the
+        retrieval ordering; candidates the tower itself surfaces are
+        exactly what the re-ranker must push below the true positives at
+        serving time. No reference equivalent (it trains on uniform
+        unrated negatives only, ``feature_engineering.py:260-280``).
+        """
+        cfg = self.cfg
+        loaded = self._load_tower_embeddings()
+        if loaded is None:
+            logger.warning(
+                "RANKER_HARD_NEG_FRAC=%.2f but no tower model at %s — "
+                "keeping uniform negatives", cfg.RANKER_HARD_NEG_FRAC,
+                cfg.EMBEDDING_MODEL_PATH,
+            )
+            return pairs
+        model, user_embs, item_embs = loaded
+        pool = min(cfg.RANKER_HARD_NEG_POOL, model.n_items)
+
+        ratings = self.data.ratings
+        rated = {
+            u: set(g.values)
+            for u, g in ratings.groupby("user_id")["item_id"]
+        }
+        pairs = pairs.reset_index(drop=True)
+        neg_mask = pairs["label"].values == 0
+        users = pairs["user_id"].values
+        new_items = pairs["item_id"].values.copy()
+
+        n_replaced = 0
+        for u in np.unique(users):
+            u_neg_idx = np.nonzero(neg_mask & (users == u))[0]
+            n_hard = int(len(u_neg_idx) * cfg.RANKER_HARD_NEG_FRAC)
+            if n_hard == 0 or u > model.n_users:
+                continue
+            scores = item_embs @ user_embs[u]
+            top = np.argsort(-scores)[:pool] + 1  # item ids are 1-based
+            u_rated = rated.get(u, set())
+            # dedup against ALL of this user's current negatives — slots
+            # past n_hard keep their originals, and when the pool runs
+            # short some of the first n_hard slots do too
+            keep = set(new_items[u_neg_idx].tolist())
+            hard = [
+                int(i) for i in top
+                if i not in u_rated and i not in keep
+            ][:n_hard]
+            slots = u_neg_idx[: len(hard)]
+            new_items[slots] = hard
+            n_replaced += len(hard)
+        pairs["item_id"] = new_items
+        logger.info(
+            "Hard-negative mining: replaced %d/%d negatives (frac=%.2f, "
+            "pool=%d)", n_replaced, int(neg_mask.sum()),
+            cfg.RANKER_HARD_NEG_FRAC, pool,
+        )
+        return pairs
+
+    def _add_retrieval_score(self, *frames) -> list:
+        """Score each (user, item) pair with the trained two-tower model and
+        attach it as the ``retrieval_score`` column (train/serve consistent:
+        serving passes the same similarity from the MIPS search)."""
+        loaded = self._load_tower_embeddings()
+        if loaded is None:
+            logger.warning(
+                "RANKER_USE_RETRIEVAL_SCORE set but no tower model at %s — "
+                "skipping the retrieval_score feature",
+                self.cfg.EMBEDDING_MODEL_PATH,
+            )
+            return []
+        model, user_embs, item_embs = loaded
         for df in frames:
             uids = df["user_id"].values.astype(np.int64)
             iids = df["item_id"].values.astype(np.int64)

@@ -274,3 +274,78 @@ class TestQueryNorm:
         )
         assert out.shape == (3, 20)
         assert np.allclose(out, rows, atol=1e-5)
+
+
+class TestHardNegativeMining:
+    """RANKER_HARD_NEG_FRAC: negatives mined from the tower's top unrated
+    candidates (train distribution ≈ serving candidate sets)."""
+
+    @pytest.fixture(scope="class")
+    def mined(self, synthetic_data, tmp_path_factory):
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.features.engineering import FeatureEngineer
+        from recommendit_tpu.models.two_tower import TwoTowerModel
+        from recommendit_tpu.training.train_ranker import RankerTrainer
+
+        tmp = tmp_path_factory.mktemp("hardneg")
+        model_path = str(tmp / "tower.npz")
+        TwoTowerModel(
+            n_users=synthetic_data.n_users, n_items=synthetic_data.n_items,
+            embed_dim=8, hidden_dim=16, seed=0,
+        ).save(model_path)
+
+        cfg = Settings(
+            EMBEDDING_MODEL_PATH=model_path, RANKER_HARD_NEG_FRAC=0.5,
+            RANKER_HARD_NEG_POOL=40, N_NEGATIVES=4, SEED=0,
+        )
+        fe = FeatureEngineer(seed=0)
+        fe.set_data(synthetic_data)
+        trainer = RankerTrainer(synthetic_data, cfg, feature_engineer=fe)
+        pairs, _ = fe.build_training_pairs(n_negatives=4, seed=0)
+        mined = trainer._mine_hard_negatives(pairs.copy())
+        return synthetic_data, pairs, mined
+
+    def test_positives_untouched(self, mined):
+        _, pairs, out = mined
+        p0 = pairs[pairs["label"] == 1].reset_index(drop=True)
+        p1 = out[out["label"] == 1].reset_index(drop=True)
+        assert np.array_equal(p0["item_id"].values, p1["item_id"].values)
+        assert np.array_equal(pairs["label"].values, out["label"].values)
+
+    def test_negatives_changed_but_unrated(self, mined):
+        data, pairs, out = mined
+        changed = (pairs["item_id"].values != out["item_id"].values)
+        assert changed.sum() > 0
+        rated = set(
+            zip(data.ratings["user_id"].values, data.ratings["item_id"].values)
+        )
+        neg = out[out["label"] == 0]
+        assert not any(
+            (u, i) in rated
+            for u, i in zip(neg["user_id"].values, neg["item_id"].values)
+        )
+
+    def test_no_duplicate_items_within_query(self, mined):
+        _, _, out = mined
+        dup = out.groupby(["query_id", "item_id"]).size()
+        # positives can repeat items across labels only if the random
+        # sampler produced them; hard mining must not introduce dups among
+        # negatives of one query
+        neg = out[out["label"] == 0]
+        assert neg.groupby(["query_id", "item_id"]).size().max() == 1
+
+    def test_missing_model_keeps_pairs(self, synthetic_data):
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.features.engineering import FeatureEngineer
+        from recommendit_tpu.training.train_ranker import RankerTrainer
+
+        cfg = Settings(
+            EMBEDDING_MODEL_PATH="/nonexistent/tower.npz",
+            RANKER_HARD_NEG_FRAC=0.5,
+        )
+        fe = FeatureEngineer(seed=0)
+        fe.set_data(synthetic_data)
+        trainer = RankerTrainer(synthetic_data, cfg, feature_engineer=fe)
+        pairs, _ = fe.build_training_pairs(n_negatives=2, seed=0)
+        out = trainer._mine_hard_negatives(pairs.copy())
+        assert np.array_equal(pairs["item_id"].values, out["item_id"].values)
