@@ -311,6 +311,48 @@ class RecommendationPipeline:
         ids, _, _ = self._serve_fn(jnp.asarray(1, jnp.int32))
         jax.block_until_ready(ids)
 
+        # Calibrate the per-stage latency split: the hot path is ONE fused
+        # device call, so stage times can't be observed per request without
+        # splitting it (which would cost a host round-trip). Instead, time
+        # a standalone embed+retrieve sub-program at load and attribute
+        # each fused call's device time by the measured ratio (the
+        # reference wraps separate FAISS/LightGBM calls, recommender.py
+        # :310-341 — here both run inside one XLA program).
+        @jax.jit
+        def retrieve_only(user_id):
+            q = user_tower(params, user_id[None])
+            rvals, pos = retrieve(q)
+            return rvals
+
+        self._retrieval_fraction = 0.5
+        try:
+            import time as _time
+
+            def _med(fn, uids):
+                ts = []
+                for u in uids:  # distinct inputs: remote TPU memoizes
+                    t0 = _time.time()
+                    jax.block_until_ready(fn(jnp.asarray(u, jnp.int32)))
+                    ts.append(_time.time() - t0)
+                return float(np.median(ts))
+
+            uids = [1 + (i % max(1, self._n_users)) for i in range(5)]
+            jax.block_until_ready(retrieve_only(jnp.asarray(1, jnp.int32)))
+            t_retr = _med(retrieve_only, uids)
+            t_full = _med(self._serve_fn, uids)
+            if t_full > 0:
+                self._retrieval_fraction = min(0.95, max(0.05, t_retr / t_full))
+            logger.info(
+                "Stage split calibrated: retrieval %.0f%% / ranking %.0f%% "
+                "(retrieve %.2f ms, full %.2f ms)",
+                100 * self._retrieval_fraction,
+                100 * (1 - self._retrieval_fraction),
+                t_retr * 1e3, t_full * 1e3,
+            )
+        except Exception:
+            logger.warning("Stage-split calibration failed; using 50/50",
+                           exc_info=True)
+
     # ------------------------------------------------------------------ #
     # Online feature updates                                               #
     # ------------------------------------------------------------------ #
@@ -425,9 +467,11 @@ class RecommendationPipeline:
             logger.exception("Serve path failed for user %d", user_id)
             return self._popularity_recommendations(k)
         device_ms = (time.time() - t_retr) * 1000
-        # one fused call: attribute device time to both stage trackers
-        self.retrieval_latency.record(device_ms)
-        self.ranking_latency.record(device_ms)
+        # one fused call: split device time by the load-time calibrated
+        # retrieval/ranking ratio (see _build_serve_fn)
+        frac = getattr(self, "_retrieval_fraction", 0.5)
+        self.retrieval_latency.record(device_ms * frac)
+        self.ranking_latency.record(device_ms * (1.0 - frac))
 
         results = []
         for rank, (iid, sc, rs) in enumerate(

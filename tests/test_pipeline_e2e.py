@@ -231,3 +231,30 @@ class TestRealServing:
         recs = p.get_recommendations(uid, k=20, use_cache=False)
         rec_ids = {r.item_id for r in recs}
         assert not (rec_ids & rated)
+
+
+class TestStageSplitCalibration:
+    def test_calibrated_fraction_and_split_recording(self, trained_artifacts):
+        from recommendit_tpu.serving.recommender import RecommendationPipeline
+
+        orch, _, tmp = trained_artifacts
+        pipeline = RecommendationPipeline(
+            model_path=orch.cfg.EMBEDDING_MODEL_PATH,
+            index_path=orch.cfg.INDEX_PATH,
+            ranker_path=orch.cfg.RANKER_MODEL_PATH,
+            redis_url="redis://localhost:9999",
+            data_dir=str(tmp / "ml"),
+            features_dir=str(tmp / "features"),
+            cfg=orch.cfg,
+        )
+        pipeline.load()
+        frac = pipeline._retrieval_fraction
+        assert 0.05 <= frac <= 0.95
+        pipeline.get_recommendations(3, k=5, use_cache=False)
+        # the two stage trackers must hold the SPLIT device time, not each
+        # the full call (old behavior double-counted)
+        r = pipeline.retrieval_latency.p50
+        k = pipeline.ranking_latency.p50
+        assert r > 0 and k > 0
+        total = r + k
+        assert abs(r / total - frac) < 0.05
