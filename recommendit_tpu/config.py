@@ -67,6 +67,11 @@ class Settings:
     SEED: int = 0
     LOSS_MODE: str = "softmax"   # softmax (logQ-corrected) | in_batch | pairwise
     SOFTMAX_TEMPERATURE: float = 0.05
+    # 'epoch': the whole epoch is one jitted lax.scan (fastest; default).
+    # 'step': jit per batch — workaround for remote-compile toolchains that
+    # hang on the epoch-scan program (ROADMAP §3); ~same math, more
+    # dispatch overhead.
+    TRAIN_JIT_SCOPE: str = "epoch"
 
     # --- Ranker (replaces LightGBM knobs, reference :27-29) ---
     RANKER_TYPE: str = "mlp"             # mlp (LambdaRank MLP) | gbdt (hist GBDT)

@@ -1,0 +1,199 @@
+"""Host-resident embedding tables for >HBM-scale training (ROADMAP §6).
+
+A 100M-user x dim-128 f32 table is ~51 GB — beyond a single chip's HBM and
+beyond small pod slices even row-sharded. The standard recipe (DLRM-style
+CPU offload) keeps the TABLE in host RAM (optionally a numpy memmap backed
+by disk) and ships only the CURRENT BATCH's rows to the device:
+
+    host: gather rows for batch ids  ──►  device: fwd/bwd on rows
+    host: sparse adagrad/sgd row update  ◄──  device: d(loss)/d(rows)
+
+The device program never sees the table — its inputs are (B, D) row
+matrices, so the XLA program is tiny and static-shape. The host update is
+a dedup + scatter-add (duplicate ids within a batch accumulate, exactly
+like autodiff through a gather).
+
+:class:`PrefetchIterator` overlaps the NEXT batch's host gather + H2D copy
+with the current device step (double buffering) so the MXU never waits on
+PCIe/host memory.
+
+No reference equivalent — the reference's tables live inside torch Modules
+on one device (``src/models/two_tower.py:27,54``).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["HostEmbeddingTable", "PrefetchIterator", "prefetch_to_device"]
+
+
+class HostEmbeddingTable:
+    """A host-RAM (or disk-memmapped) embedding table with sparse updates.
+
+    Parameters
+    ----------
+    n_rows, dim : table shape.
+    optimizer : 'adagrad' (default — the standard choice for sparse
+        embedding updates: per-row adaptive scaling without dense moments)
+        or 'sgd'.
+    lr : learning rate.
+    path : optional ``.npy`` path — the table is a disk-backed memmap, so
+        tables larger than host RAM stream through the page cache.
+    """
+
+    def __init__(
+        self,
+        n_rows: int,
+        dim: int,
+        optimizer: str = "adagrad",
+        lr: float = 0.05,
+        init_scale: float = 0.05,
+        seed: int = 0,
+        path: Optional[str] = None,
+        eps: float = 1e-8,
+    ):
+        self.n_rows, self.dim = int(n_rows), int(dim)
+        if optimizer not in ("adagrad", "sgd"):
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        self.optimizer = optimizer
+        self.lr = float(lr)
+        self.eps = float(eps)
+        rng = np.random.default_rng(seed)
+        if path is not None:
+            p = Path(path)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            self.table = np.lib.format.open_memmap(
+                str(p), mode="w+", dtype=np.float32,
+                shape=(self.n_rows, self.dim),
+            )
+            # chunked init keeps peak RAM bounded for huge tables
+            chunk = max(1, min(self.n_rows, 1 << 20))
+            for s in range(0, self.n_rows, chunk):
+                e = min(self.n_rows, s + chunk)
+                self.table[s:e] = init_scale * rng.standard_normal(
+                    (e - s, self.dim)
+                ).astype(np.float32)
+        else:
+            self.table = (
+                init_scale * rng.standard_normal((self.n_rows, self.dim))
+            ).astype(np.float32)
+        # adagrad accumulator: one scalar per row (row-wise variant — the
+        # memory-frugal form used for embedding tables)
+        self._accum = (
+            np.zeros((self.n_rows,), np.float32)
+            if optimizer == "adagrad" else None
+        )
+
+    def gather(self, ids: np.ndarray) -> np.ndarray:
+        """(B,) ids -> (B, D) rows (a copy — safe to ship to device)."""
+        return np.ascontiguousarray(self.table[ids])
+
+    def apply_grad(self, ids: np.ndarray, grad: np.ndarray) -> None:
+        """Sparse row update. Duplicate ids within the batch accumulate
+        (matching autodiff-through-gather scatter-add semantics) and each
+        unique row is updated ONCE."""
+        ids = np.asarray(ids)
+        grad = np.asarray(grad, np.float32)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        g = np.zeros((len(uniq), self.dim), np.float32)
+        np.add.at(g, inv, grad)
+        if self.optimizer == "adagrad":
+            self._accum[uniq] += np.mean(g * g, axis=1)
+            scale = self.lr / (np.sqrt(self._accum[uniq]) + self.eps)
+            self.table[uniq] -= scale[:, None] * g
+        else:
+            self.table[uniq] -= self.lr * g
+
+    # --- persistence ---------------------------------------------------- #
+
+    def save(self, path: str) -> None:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        np.save(p, np.asarray(self.table))
+        if self._accum is not None:
+            np.save(str(p) + ".accum.npy", self._accum)
+
+    def load_state(self, path: str) -> None:
+        self.table[:] = np.load(path, mmap_mode="r")
+        accum = Path(str(path) + ".accum.npy")
+        if self._accum is not None and accum.exists():
+            self._accum[:] = np.load(accum)
+
+
+class PrefetchIterator:
+    """Double-buffered host->device prefetcher.
+
+    Wraps a host iterator of pytrees of numpy arrays; a background thread
+    stays ``depth`` batches ahead, running the host-side work (table
+    gathers, batch assembly) AND the ``jax.device_put`` H2D copy while the
+    device executes the current step. Exceptions from the source iterator
+    propagate on the consumer side.
+    """
+
+    _END = object()
+
+    def __init__(self, source: Iterable, depth: int = 2,
+                 device=None):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._device = device
+        self._thread = threading.Thread(
+            target=self._worker, args=(iter(source),), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, it: Iterator) -> None:
+        try:
+            for item in it:
+                shipped = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self._device), item
+                )
+                self._q.put(shipped)
+            self._q.put(self._END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised on consumer
+            self._q.put(exc)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
+def prefetch_to_device(source: Iterable, depth: int = 2, device=None):
+    """Convenience wrapper: ``for batch in prefetch_to_device(gen()): ...``"""
+    return PrefetchIterator(source, depth=depth, device=device)
+
+
+def make_host_offload_step(
+    loss_from_rows: Callable,
+) -> Callable:
+    """Build the device half of a host-table training step.
+
+    ``loss_from_rows(dense_params, row_inputs, batch) -> loss`` where
+    ``row_inputs`` is a pytree of (B, D) gathered-row arrays. Returns a
+    jitted ``step(dense_params, row_inputs, batch) -> (loss, row_grads,
+    dense_grads)`` — the caller applies ``dense_grads`` with its optax
+    optimizer and routes ``row_grads`` to ``HostEmbeddingTable.apply_grad``.
+    """
+
+    def step(dense_params, row_inputs, batch):
+        def f(dp, rows):
+            return loss_from_rows(dp, rows, batch)
+
+        loss, (dense_g, row_g) = jax.value_and_grad(f, argnums=(0, 1))(
+            dense_params, row_inputs
+        )
+        return loss, row_g, dense_g
+
+    return jax.jit(step)

@@ -127,15 +127,34 @@ class EmbeddingTrainer:
                 return in_batch_bpr_pallas(ue, ie)
             return in_batch_bpr_loss_xla(ue, ie)
 
-        def epoch_fn(params, opt_state, batches, rng):
-            def step(carry, batch):
-                params, opt_state, rng = carry
-                rng, sub = jax.random.split(rng)
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch, sub)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, rng), loss
+        def step(carry, batch):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, sub)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, rng), loss
 
+        if self.cfg.TRAIN_JIT_SCOPE == "step":
+            # per-batch jit: a much smaller XLA program than the epoch
+            # scan — the workaround for remote-compile toolchains that
+            # hang on the scan (ROADMAP §3). Python loops over batches.
+            jit_step = jax.jit(step, donate_argnums=(0,))
+
+            def epoch_fn(params, opt_state, batches, rng):
+                n = batches[0].shape[0]
+                carry = (params, opt_state, rng)
+                losses = []
+                for b in range(n):
+                    batch = jax.tree_util.tree_map(lambda x: x[b], batches)
+                    carry, loss = jit_step(carry, batch)
+                    losses.append(loss)
+                params, opt_state, rng = carry
+                return params, opt_state, rng, jnp.mean(jnp.stack(losses))
+
+            return epoch_fn
+
+        def epoch_fn(params, opt_state, batches, rng):
             (params, opt_state, rng), losses = jax.lax.scan(
                 step, (params, opt_state, rng), batches
             )

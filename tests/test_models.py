@@ -248,6 +248,28 @@ class TestEmbeddingTrainer:
         epochs_run = [h["epoch"] for h in t2.history]
         assert epochs_run[0] > 1 and epochs_run[-1] == 4
 
+    def test_step_jit_scope_matches_epoch_scan(self, synthetic_data, tmp_path):
+        """TRAIN_JIT_SCOPE='step' (the remote-compile-hang workaround,
+        ROADMAP §3) runs the same math as the epoch lax.scan."""
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
+
+        base = dict(EMBEDDING_DIM=8, HIDDEN_DIM=16, BATCH_SIZE=128,
+                    TRAIN_EPOCHS=2, USE_PALLAS=False, SEED=0, DROPOUT=0.0)
+        t_epoch = EmbeddingTrainer(
+            synthetic_data, Settings(**base),
+            model_output_path=str(tmp_path / "e.npz"),
+        )
+        t_epoch.train()
+        t_step = EmbeddingTrainer(
+            synthetic_data, Settings(TRAIN_JIT_SCOPE="step", **base),
+            model_output_path=str(tmp_path / "s.npz"),
+        )
+        t_step.train()
+        le = [h["loss"] for h in t_epoch.history]
+        ls = [h["loss"] for h in t_step.history]
+        np.testing.assert_allclose(le, ls, rtol=1e-4)
+
     def test_pairwise_mode(self, synthetic_data, tmp_path):
         from recommendit_tpu.config import Settings
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
