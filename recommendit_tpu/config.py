@@ -122,6 +122,12 @@ class Settings:
     # the stacked embedding table with the DLRM ranker)
     CTR_RETRIEVAL_WEIGHT: float = 0.5    # lambda on the in-batch softmax term
     CTR_SOFTMAX_TEMPERATURE: float = 0.1
+    # Table update path: 'sparse' = rows-boundary grads + mixed per-field
+    # row-adagrad (215x the naive step at 1.1M-row tables on a v5e, see
+    # ops/sparse_embed.py); 'dense' = plain autodiff + adam over the table.
+    CTR_TABLE_UPDATE: str = "sparse"
+    CTR_TABLE_LR: float = 0.05           # row-adagrad lr (sparse mode)
+    CTR_SMALL_VOCAB_THRESHOLD: int = 4096
 
     # --- Serving options beyond the reference ---
     FILTER_SEEN: bool = False    # exclude items the user already interacted with

@@ -18,3 +18,8 @@ from recommendit_tpu.ops.topk import (  # noqa: F401
     mips_topk_int8,
     mips_topk_numpy,
 )
+from recommendit_tpu.ops.sparse_embed import (  # noqa: F401
+    field_split,
+    sparse_adagrad_init,
+    sparse_table_update,
+)

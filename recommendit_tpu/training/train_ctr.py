@@ -33,7 +33,14 @@ from recommendit_tpu.models.ctr import (
     CTRModel,
     bce_loss,
     ctr_forward,
+    ctr_forward_from_embed,
+    item_tower_ctr,
+    user_tower_ctr,
     weighted_in_batch_softmax,
+)
+from recommendit_tpu.ops.sparse_embed import (
+    sparse_adagrad_init,
+    sparse_table_update,
 )
 from recommendit_tpu.ops.topk import fast_topk
 
@@ -121,6 +128,57 @@ class CTRTrainer:
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
+    def _make_sparse_epoch_fn(self, tx):
+        """Rows-boundary epoch: the dense table gradient never exists —
+        grads flow to the GATHERED rows, the table updates via the mixed
+        per-field row-adagrad (``ops.sparse_embed``; 215x the dense step
+        at Criteo-ish table scale on a v5e)."""
+        cfg = self.cfg
+        joint = self.joint
+        n_user_fields = self.data.n_user_fields
+        lam = cfg.CTR_RETRIEVAL_WEIGHT
+        temp = cfg.CTR_SOFTMAX_TEMPERATURE
+        vocab_sizes = self.model.vocab_sizes
+        log_q_table = jnp.asarray(self._log_q())
+
+        def loss_from_rows(dense_params, rows, batch):
+            dense, _, labels, item_ids = batch
+            if not joint:
+                logits = ctr_forward_from_embed(dense_params, dense, rows)
+                return bce_loss(logits, labels)
+            ue = user_tower_ctr(dense_params, rows[:, :n_user_fields])
+            ie = item_tower_ctr(dense_params, rows[:, n_user_fields:])
+            sim = jnp.sum(ue * ie, axis=-1)
+            logits = ctr_forward_from_embed(dense_params, dense, rows, sim)
+            ret = weighted_in_batch_softmax(
+                ue, ie, labels, jnp.take(log_q_table, item_ids), temp
+            )
+            return bce_loss(logits, labels) + lam * ret
+
+        def epoch_fn(dense_params, opt_state, table, accum, batches):
+            def step(carry, batch):
+                dense_params, opt_state, table, accum = carry
+                ids = batch[1]
+                rows = jnp.take(table, ids, axis=0)
+                loss, (dg, rg) = jax.value_and_grad(
+                    loss_from_rows, argnums=(0, 1)
+                )(dense_params, rows, batch)
+                updates, opt_state = tx.update(dg, opt_state, dense_params)
+                dense_params = optax.apply_updates(dense_params, updates)
+                table, accum = sparse_table_update(
+                    table, accum, ids, rg, vocab_sizes,
+                    lr=cfg.CTR_TABLE_LR,
+                    small_threshold=cfg.CTR_SMALL_VOCAB_THRESHOLD,
+                )
+                return (dense_params, opt_state, table, accum), loss
+
+            (dense_params, opt_state, table, accum), losses = jax.lax.scan(
+                step, (dense_params, opt_state, table, accum), batches
+            )
+            return dense_params, opt_state, table, accum, jnp.mean(losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1, 2, 3))
+
     def _epoch_batches(self, rng: np.random.Generator, batch_size: int):
         d = self.train_data
         n = len(d.labels)
@@ -151,9 +209,17 @@ class CTRTrainer:
             optax.clip_by_global_norm(cfg.GRAD_CLIP_NORM),
             optax.adamw(schedule, weight_decay=cfg.WEIGHT_DECAY),
         )
+        sparse = cfg.CTR_TABLE_UPDATE == "sparse"
         params = self.model.params
-        opt_state = jax.jit(tx.init)(params)
-        epoch_fn = self._make_epoch_fn(tx)
+        if sparse:
+            table = params["embed"]
+            dense_params = {k: v for k, v in params.items() if k != "embed"}
+            accum = sparse_adagrad_init(table.shape[0])
+            opt_state = jax.jit(tx.init)(dense_params)
+            epoch_fn = self._make_sparse_epoch_fn(tx)
+        else:
+            opt_state = jax.jit(tx.init)(params)
+            epoch_fn = self._make_epoch_fn(tx)
         host_rng = np.random.default_rng(cfg.SEED)
 
         t0 = time.time()
@@ -161,7 +227,12 @@ class CTRTrainer:
         for epoch in range(1, epochs + 1):
             te = time.time()
             batches = self._epoch_batches(host_rng, batch_size)
-            params, opt_state, loss = epoch_fn(params, opt_state, batches)
+            if sparse:
+                dense_params, opt_state, table, accum, loss = epoch_fn(
+                    dense_params, opt_state, table, accum, batches
+                )
+            else:
+                params, opt_state, loss = epoch_fn(params, opt_state, batches)
             dt = time.time() - te
             n_ex = batches[2].size
             total += n_ex
@@ -172,6 +243,9 @@ class CTRTrainer:
             logger.info("ctr epoch %d/%d | loss %.4f | %.2fs | %.0f ex/s",
                         epoch, epochs, float(loss), dt, n_ex / dt)
         self.examples_per_s = total / (time.time() - t0)
+        if sparse:
+            params = dict(dense_params)
+            params["embed"] = table
         self.model.params = params
         if self.model_output_path:
             self.model.save(self.model_output_path)
