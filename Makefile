@@ -13,7 +13,7 @@ MESH_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_h
 
 .PHONY: help data features load-features embeddings index ranker evaluate \
         train all serve test test-features test-models test-api test-parallel \
-        test-coverage bench dryrun lint format clean
+        test-coverage bench dryrun lint format clean native
 
 help:
 	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort -u
@@ -54,7 +54,7 @@ serve:
 	$(PY) -m recommendit_tpu.serving.app
 
 # ---- tests ------------------------------------------------------------ #
-test:
+test: native
 	$(PY) -m pytest tests/ -x -q
 
 test-features:

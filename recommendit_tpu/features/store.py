@@ -7,31 +7,35 @@ serialization, TTLs via SETEX, bulk pipeline loading, and a silent
 in-memory fallback when Redis is unreachable (the fallback doubles as the
 test fake, reference ``tests/test_features.py:231``).
 
-Adds a packed-table export (:meth:`export_packed`) so serving can mirror the
-store into dense device arrays for on-TPU feature assembly.
+Internally the backend choice is a strategy object (:class:`_RedisBackend`
+/ :class:`_MemoryBackend`) selected once at construction, so the
+per-operation code has no redis/memory branching.
+
+Adds a packed-table export so serving can mirror the store into dense
+device arrays for on-TPU feature assembly, and a zero-copy mmap snapshot
+fallthrough (:meth:`FeatureStore.attach_snapshot`).
 """
 from __future__ import annotations
 
 import json
 import logging
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 
 try:
     import redis  # type: ignore
-
-    REDIS_AVAILABLE = True
 except ImportError:  # pragma: no cover
-    REDIS_AVAILABLE = False
+    redis = None
 
 try:
     import msgpack  # type: ignore
-
-    MSGPACK_AVAILABLE = True
 except ImportError:  # pragma: no cover
-    MSGPACK_AVAILABLE = False
+    msgpack = None
+
+REDIS_AVAILABLE = redis is not None
+MSGPACK_AVAILABLE = msgpack is not None
 
 logger = logging.getLogger(__name__)
 
@@ -39,6 +43,10 @@ USER_FEATURE_PREFIX = "user:feat:"
 ITEM_FEATURE_PREFIX = "item:feat:"
 RECS_PREFIX = "recs:"
 
+
+# --------------------------------------------------------------------- #
+# Serialization codec — chosen once at import, not per call.
+# --------------------------------------------------------------------- #
 
 def _to_native(v: Any) -> Any:
     if isinstance(v, np.ndarray):
@@ -50,78 +58,153 @@ def _to_native(v: Any) -> Any:
     return v
 
 
-def serialize(data: Dict[str, Any]) -> bytes:
-    """msgpack if available, else JSON (reference ``feature_store.py:30-45``)."""
-    clean = {k: _to_native(v) for k, v in data.items()}
-    if MSGPACK_AVAILABLE:
-        return msgpack.packb(clean, use_bin_type=True)
+def _json_pack(clean: Dict[str, Any]) -> bytes:
     return json.dumps(clean).encode("utf-8")
 
 
-def deserialize(data: bytes) -> Dict[str, Any]:
-    if MSGPACK_AVAILABLE:
-        try:
-            return msgpack.unpackb(data, raw=False)
-        except Exception:
-            pass
+def _json_unpack(data: bytes) -> Dict[str, Any]:
     return json.loads(data.decode("utf-8"))
 
 
+def _msgpack_pack(clean: Dict[str, Any]) -> bytes:
+    return msgpack.packb(clean, use_bin_type=True)
+
+
+def _msgpack_unpack(data: bytes) -> Dict[str, Any]:
+    try:
+        return msgpack.unpackb(data, raw=False)
+    except Exception:
+        # tolerate JSON payloads written by a msgpack-less producer
+        return _json_unpack(data)
+
+
+def serialize(data: Dict[str, Any]) -> bytes:
+    """Wire format: msgpack if available, else JSON (reference contract,
+    ``feature_store.py:30-45``). MSGPACK_AVAILABLE is consulted per call
+    so tests can toggle the fallback."""
+    clean = {k: _to_native(v) for k, v in data.items()}
+    pack = _msgpack_pack if MSGPACK_AVAILABLE else _json_pack
+    return pack(clean)
+
+
+def deserialize(data: bytes) -> Dict[str, Any]:
+    unpack = _msgpack_unpack if MSGPACK_AVAILABLE else _json_unpack
+    return unpack(data)
+
+
+# --------------------------------------------------------------------- #
+# Backends
+# --------------------------------------------------------------------- #
+
+class _MemoryBackend:
+    """Plain-dict KV backend; the built-in test fake (TTLs are ignored —
+    process lifetime is the TTL)."""
+
+    name = "in-memory"
+
+    def __init__(self) -> None:
+        self._kv: Dict[str, bytes] = {}
+
+    def read(self, key: str) -> Optional[bytes]:
+        return self._kv.get(key)
+
+    def read_many(self, keys: List[str]) -> List[Optional[bytes]]:
+        kv = self._kv
+        return [kv.get(k) for k in keys]
+
+    def write(self, key: str, value: bytes, ttl: int) -> None:
+        self._kv[key] = value
+
+    def write_many(self, items: Dict[str, bytes], ttl: int) -> None:
+        self._kv.update(items)
+
+    def delete(self, key: str) -> None:
+        self._kv.pop(key, None)
+
+    def flush(self) -> None:
+        self._kv.clear()
+
+    def stats(self) -> Dict[str, Any]:
+        return {"backend": self.name, "keys": len(self._kv)}
+
+
+class _RedisBackend:
+    """Redis KV backend. Construction raises when the server is
+    unreachable; the store catches that and falls back to memory."""
+
+    name = "redis"
+
+    def __init__(self, url: str) -> None:
+        self.url = url
+        self._r = redis.from_url(url, socket_connect_timeout=2)
+        self._r.ping()
+
+    def read(self, key: str) -> Optional[bytes]:
+        return self._r.get(key)
+
+    def read_many(self, keys: List[str]) -> List[Optional[bytes]]:
+        return self._r.mget(keys)
+
+    def write(self, key: str, value: bytes, ttl: int) -> None:
+        self._r.setex(key, ttl, value)
+
+    def write_many(self, items: Dict[str, bytes], ttl: int) -> None:
+        pipe = self._r.pipeline()
+        for k, v in items.items():
+            pipe.setex(k, ttl, v)
+        pipe.execute()
+
+    def delete(self, key: str) -> None:
+        self._r.delete(key)
+
+    def flush(self) -> None:
+        self._r.flushdb()
+
+    def stats(self) -> Dict[str, Any]:
+        db = self._r.info("keyspace").get("db0", {})
+        return {"backend": self.name, "url": self.url,
+                "keys": db.get("keys", 0)}
+
+
+def _pick_backend(redis_url: str):
+    if not REDIS_AVAILABLE:
+        logger.warning("redis package unavailable; using in-memory store")
+        return _MemoryBackend()
+    try:
+        backend = _RedisBackend(redis_url)
+        logger.info("Connected to Redis at %s", redis_url)
+        return backend
+    except Exception as exc:
+        logger.warning("Redis unreachable (%s); using in-memory store", exc)
+        return _MemoryBackend()
+
+
+# --------------------------------------------------------------------- #
+# Store
+# --------------------------------------------------------------------- #
+
 class FeatureStore:
-    """Redis-backed online KV feature store with in-memory fallback."""
+    """Online KV feature store over a pluggable backend, with optional
+    read-through to an mmap'd feature snapshot."""
 
     def __init__(self, redis_url: str = "redis://localhost:6379", ttl: int = 3600):
         self.redis_url = redis_url
         self.ttl = ttl
-        self._client: Optional[Any] = None
-        self._memory_store: Dict[str, bytes] = {}
-        self._use_redis = False
+        self._backend = _pick_backend(redis_url)
         self._snapshot = None
-        self._connect()
-
-    def _connect(self) -> None:
-        if not REDIS_AVAILABLE:
-            logger.warning("redis package unavailable; using in-memory store")
-            return
-        try:
-            client = redis.from_url(self.redis_url, socket_connect_timeout=2)
-            client.ping()
-            self._client = client
-            self._use_redis = True
-            logger.info("Connected to Redis at %s", self.redis_url)
-        except Exception as exc:
-            logger.warning("Redis unreachable (%s); using in-memory store", exc)
-            self._use_redis = False
 
     @property
     def is_redis_available(self) -> bool:
-        return self._use_redis
-
-    # --- low-level -------------------------------------------------- #
-
-    def _set(self, key: str, value: bytes, ttl: Optional[int] = None) -> None:
-        if self._use_redis:
-            self._client.setex(key, ttl or self.ttl, value)
-        else:
-            self._memory_store[key] = value
-
-    def _get(self, key: str) -> Optional[bytes]:
-        if self._use_redis:
-            return self._client.get(key)
-        return self._memory_store.get(key)
-
-    def _mget(self, keys: List[str]) -> List[Optional[bytes]]:
-        if self._use_redis:
-            return self._client.mget(keys)
-        return [self._memory_store.get(k) for k in keys]
+        return isinstance(self._backend, _RedisBackend)
 
     # --- user features ---------------------------------------------- #
 
     def store_user_features(self, user_id: int, features: Dict[str, Any]) -> None:
-        self._set(f"{USER_FEATURE_PREFIX}{user_id}", serialize(features))
+        self._backend.write(f"{USER_FEATURE_PREFIX}{user_id}",
+                            serialize(features), self.ttl)
 
     def get_user_features(self, user_id: int) -> Optional[Dict[str, Any]]:
-        raw = self._get(f"{USER_FEATURE_PREFIX}{user_id}")
+        raw = self._backend.read(f"{USER_FEATURE_PREFIX}{user_id}")
         if raw is not None:
             return deserialize(raw)
         if self._snapshot is not None:
@@ -131,10 +214,11 @@ class FeatureStore:
     # --- item features ---------------------------------------------- #
 
     def store_item_features(self, item_id: int, features: Dict[str, Any]) -> None:
-        self._set(f"{ITEM_FEATURE_PREFIX}{item_id}", serialize(features))
+        self._backend.write(f"{ITEM_FEATURE_PREFIX}{item_id}",
+                            serialize(features), self.ttl)
 
     def get_item_features(self, item_id: int) -> Optional[Dict[str, Any]]:
-        raw = self._get(f"{ITEM_FEATURE_PREFIX}{item_id}")
+        raw = self._backend.read(f"{ITEM_FEATURE_PREFIX}{item_id}")
         if raw is not None:
             return deserialize(raw)
         if self._snapshot is not None:
@@ -145,7 +229,7 @@ class FeatureStore:
         self, item_ids: List[int]
     ) -> Dict[int, Optional[Dict[str, Any]]]:
         keys = [f"{ITEM_FEATURE_PREFIX}{i}" for i in item_ids]
-        raws = self._mget(keys)
+        raws = self._backend.read_many(keys)
         out = {
             i: (deserialize(r) if r is not None else None)
             for i, r in zip(item_ids, raws)
@@ -175,70 +259,66 @@ class FeatureStore:
         batch_size: int = 500,
     ) -> None:
         """Bulk-load flattened feature frames (genre_pref_*/genre_vec_*
-        columns) into the store (reference ``feature_store.py:156-228``)."""
+        columns) into the store (reference contract,
+        ``feature_store.py:156-228``)."""
         logger.info(
             "Loading features: %d users, %d items",
             len(user_features_df), len(item_features_df),
         )
-
-        ug_cols = [c for c in user_features_df.columns if c.startswith("genre_pref_")]
-        u_scal = [c for c in user_features_df.columns
-                  if c != "user_id" and c not in ug_cols]
-        records = user_features_df.to_dict("records")
-        for start in range(0, len(records), batch_size):
-            chunk = records[start: start + batch_size]
-            data = {}
-            for row in chunk:
-                feat: Dict[str, Any] = {c: row[c] for c in u_scal}
-                if ug_cols:
-                    feat["genre_pref"] = [float(row[c]) for c in ug_cols]
-                data[f"{USER_FEATURE_PREFIX}{int(row['user_id'])}"] = serialize(feat)
-            self._bulk_set(data)
-
-        ig_cols = [c for c in item_features_df.columns if c.startswith("genre_vec_")]
-        i_scal = [c for c in item_features_df.columns
-                  if c not in ("item_id", "title") and c not in ig_cols]
-        records = item_features_df.to_dict("records")
-        has_title = "title" in item_features_df.columns
-        for start in range(0, len(records), batch_size):
-            chunk = records[start: start + batch_size]
-            data = {}
-            for row in chunk:
-                feat = {c: row[c] for c in i_scal}
-                if has_title:
-                    feat["title"] = str(row["title"])
-                if ig_cols:
-                    feat["genre_vector"] = [float(row[c]) for c in ig_cols]
-                data[f"{ITEM_FEATURE_PREFIX}{int(row['item_id'])}"] = serialize(feat)
-            self._bulk_set(data)
+        self._bulk_load_frame(
+            user_features_df, key_col="user_id", prefix=USER_FEATURE_PREFIX,
+            vec_prefix="genre_pref_", vec_name="genre_pref",
+            drop=("user_id",), batch_size=batch_size,
+        )
+        self._bulk_load_frame(
+            item_features_df, key_col="item_id", prefix=ITEM_FEATURE_PREFIX,
+            vec_prefix="genre_vec_", vec_name="genre_vector",
+            drop=("item_id", "title"), batch_size=batch_size,
+            keep_as_str=("title",),
+        )
         logger.info("Bulk load complete")
 
-    def _bulk_set(self, data: Dict[str, bytes]) -> None:
-        if self._use_redis:
-            pipe = self._client.pipeline()
-            for k, v in data.items():
-                pipe.setex(k, self.ttl, v)
-            pipe.execute()
-        else:
-            self._memory_store.update(data)
+    def _bulk_load_frame(
+        self,
+        df: pd.DataFrame,
+        key_col: str,
+        prefix: str,
+        vec_prefix: str,
+        vec_name: str,
+        drop: Tuple[str, ...],
+        batch_size: int,
+        keep_as_str: Iterable[str] = (),
+    ) -> None:
+        vec_cols = [c for c in df.columns if c.startswith(vec_prefix)]
+        scalar_cols = [c for c in df.columns
+                       if c not in drop and c not in vec_cols]
+        str_cols = [c for c in keep_as_str if c in df.columns]
+        records = df.to_dict("records")
+        for start in range(0, len(records), batch_size):
+            items: Dict[str, bytes] = {}
+            for row in records[start: start + batch_size]:
+                feat: Dict[str, Any] = {c: row[c] for c in scalar_cols}
+                for c in str_cols:
+                    feat[c] = str(row[c])
+                if vec_cols:
+                    feat[vec_name] = [float(row[c]) for c in vec_cols]
+                items[f"{prefix}{int(row[key_col])}"] = serialize(feat)
+            self._backend.write_many(items, self.ttl)
 
     # --- recommendation cache ---------------------------------------- #
 
     def cache_recommendations(
         self, user_id: int, recommendations: List[Dict], ttl: int = 300
     ) -> None:
-        self._set(f"{RECS_PREFIX}{user_id}", serialize({"recs": recommendations}), ttl)
+        self._backend.write(f"{RECS_PREFIX}{user_id}",
+                            serialize({"recs": recommendations}), ttl)
 
     def invalidate_recommendations(self, user_id: int) -> None:
         """Drop a user's cached recommendations (after feature updates)."""
-        key = f"{RECS_PREFIX}{user_id}"
-        if self._use_redis:
-            self._client.delete(key)
-        else:
-            self._memory_store.pop(key, None)
+        self._backend.delete(f"{RECS_PREFIX}{user_id}")
 
     def get_cached_recommendations(self, user_id: int) -> Optional[List[Dict]]:
-        raw = self._get(f"{RECS_PREFIX}{user_id}")
+        raw = self._backend.read(f"{RECS_PREFIX}{user_id}")
         if raw is None:
             return None
         return deserialize(raw).get("recs")
@@ -246,18 +326,10 @@ class FeatureStore:
     # --- ops ---------------------------------------------------------- #
 
     def flush(self) -> None:
-        if self._use_redis:
-            self._client.flushdb()
-        else:
-            self._memory_store.clear()
+        self._backend.flush()
 
     def stats(self) -> Dict[str, Any]:
-        if self._use_redis:
-            info = self._client.info("keyspace")
-            db = info.get("db0", {})
-            return {"backend": "redis", "url": self.redis_url,
-                    "keys": db.get("keys", 0)}
-        return {"backend": "in-memory", "keys": len(self._memory_store)}
+        return self._backend.stats()
 
 
 # Backwards-compatible alias matching the reference class name.

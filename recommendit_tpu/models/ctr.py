@@ -318,7 +318,12 @@ class CTRModel:
     # --- persistence ---------------------------------------------------- #
 
     def save(self, path: str) -> None:
+        # np.savez appends '.npz' when absent; normalize so save(p)/load(p)
+        # agree for any p (and the .meta.json sidecar sits next to the
+        # real file).
         p = Path(path)
+        if p.suffix != ".npz":
+            p = Path(str(p) + ".npz")
         p.parent.mkdir(parents=True, exist_ok=True)
         np.savez(p, **{k: np.asarray(v) for k, v in self.params.items()})
         meta = {
@@ -333,6 +338,8 @@ class CTRModel:
     @classmethod
     def load(cls, path: str) -> "CTRModel":
         p = Path(path)
+        if p.suffix != ".npz":
+            p = Path(str(p) + ".npz")
         if not p.exists():
             raise FileNotFoundError(f"CTR checkpoint not found: {p}")
         meta = json.loads(Path(str(p) + ".meta.json").read_text())

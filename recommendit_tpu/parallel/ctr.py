@@ -60,11 +60,15 @@ def make_ctr_sharded_train_step(
 
     Returns step(params, opt_state, batch) -> (params, opt_state, loss)
     with batch = (dense (B,13), stacked_ids (B,26), labels (B,)) global
-    arrays. The caller shards params via :func:`shard_ctr_params`.
+    arrays, optionally extended with a fourth element log_q (B,) holding
+    the per-example item log-popularity for the logQ-corrected in-batch
+    softmax (matching the single-device CTRTrainer objective,
+    ``training/train_ctr.py``). The caller shards params via
+    :func:`shard_ctr_params`.
     """
     dp = NamedSharding(mesh, P(DATA_AXIS, None))
 
-    def compute_loss(params, dense, ids, labels):
+    def compute_loss(params, dense, ids, labels, log_q):
         b, f = ids.shape
         rows = sharded_embedding_lookup(
             params["embed"], ids.reshape(-1), mesh, MODEL_AXIS
@@ -80,15 +84,16 @@ def make_ctr_sharded_train_step(
         ie = item_tower_ctr(params, rows[:, n_user_fields:])
         sim = jnp.sum(ue * ie, axis=-1)
         logits = ctr_forward_from_embed(params, dense, rows, sim)
-        ret = weighted_in_batch_softmax(ue, ie, labels,
+        ret = weighted_in_batch_softmax(ue, ie, labels, log_q,
                                         temperature=temperature)
         return bce_loss(logits, labels) + retrieval_weight * ret
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
-        dense, ids, labels = batch
+        dense, ids, labels = batch[:3]
+        log_q = batch[3] if len(batch) > 3 else None
         loss, grads = jax.value_and_grad(compute_loss)(
-            params, dense, ids, labels
+            params, dense, ids, labels, log_q
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -336,10 +336,19 @@ class RecommendationPipeline:
                     ts.append(_time.time() - t0)
                 return float(np.median(ts))
 
-            uids = [1 + (i % max(1, self._n_users)) for i in range(5)]
+            # Dispatch RTT dominates sub-ms device times on the remote
+            # tunnel (0.1-27 ms oscillation); measure it with a no-op jit
+            # and subtract it from both medians so the ratio reflects
+            # device time, not transport noise.
+            noop = jax.jit(lambda x: x + 1)
+            jax.block_until_ready(noop(jnp.asarray(0, jnp.int32)))
+            rtt = min(
+                _med(noop, [i for i in range(7)]) for _ in range(3)
+            )
+            uids = [1 + (i % max(1, self._n_users)) for i in range(15)]
             jax.block_until_ready(retrieve_only(jnp.asarray(1, jnp.int32)))
-            t_retr = _med(retrieve_only, uids)
-            t_full = _med(self._serve_fn, uids)
+            t_retr = max(1e-6, _med(retrieve_only, uids) - rtt)
+            t_full = max(1e-6, _med(self._serve_fn, uids) - rtt)
             if t_full > 0:
                 self._retrieval_fraction = min(0.95, max(0.05, t_retr / t_full))
             logger.info(

@@ -113,15 +113,22 @@ class HostEmbeddingTable:
     # --- persistence ---------------------------------------------------- #
 
     def save(self, path: str) -> None:
+        # np.save appends '.npy' when absent; normalize so save/load_state
+        # agree for any path.
         p = Path(path)
+        if p.suffix != ".npy":
+            p = Path(str(p) + ".npy")
         p.parent.mkdir(parents=True, exist_ok=True)
         np.save(p, np.asarray(self.table))
         if self._accum is not None:
             np.save(str(p) + ".accum.npy", self._accum)
 
     def load_state(self, path: str) -> None:
-        self.table[:] = np.load(path, mmap_mode="r")
-        accum = Path(str(path) + ".accum.npy")
+        p = Path(path)
+        if p.suffix != ".npy":
+            p = Path(str(p) + ".npy")
+        self.table[:] = np.load(p, mmap_mode="r")
+        accum = Path(str(p) + ".accum.npy")
         if self._accum is not None and accum.exists():
             self._accum[:] = np.load(accum)
 

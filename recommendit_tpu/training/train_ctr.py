@@ -199,8 +199,11 @@ class CTRTrainer:
     def train(self, epochs: Optional[int] = None) -> CTRModel:
         cfg = self.cfg
         epochs = epochs or cfg.CTR_EPOCHS
-        batch_size = min(cfg.CTR_BATCH_SIZE,
-                         max(8, len(self.train_data.labels) // 2))
+        n_train = len(self.train_data.labels)
+        # Clamp to the dataset size: with n_train < 8 the floor of 8 would
+        # make _epoch_batches try to reshape more rows than exist.
+        batch_size = max(1, min(cfg.CTR_BATCH_SIZE,
+                                max(8, n_train // 2), n_train))
         n_batches = max(1, len(self.train_data.labels) // batch_size)
         schedule = optax.cosine_decay_schedule(
             cfg.CTR_LEARNING_RATE, decay_steps=max(1, epochs * n_batches)
@@ -234,6 +237,15 @@ class CTRTrainer:
             else:
                 params, opt_state, loss = epoch_fn(params, opt_state, batches)
             dt = time.time() - te
+            # The epoch_fn donates its inputs; keep the model holding live
+            # buffers after every epoch so an exception mid-training never
+            # leaves it with deleted (donated) params.
+            if sparse:
+                merged = dict(dense_params)
+                merged["embed"] = table
+                self.model.params = merged
+            else:
+                self.model.params = params
             n_ex = batches[2].size
             total += n_ex
             self.history.append(
