@@ -17,6 +17,7 @@ from recommendit_tpu.ops.topk import (  # noqa: F401
     mips_topk_dense,
     mips_topk_int8,
     mips_topk_numpy,
+    mips_topk_verified,
 )
 from recommendit_tpu.ops.sparse_embed import (  # noqa: F401
     field_split,

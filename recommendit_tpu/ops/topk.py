@@ -42,6 +42,168 @@ def mips_topk_dense(queries, item_embs, k: int, recall_target: float = 1.0):
     return fast_topk(scores, k, recall_target)
 
 
+def _scan_topk(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_size: int,
+    recall_target: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming blocked top-k: per-block matmul + partial reduce, running
+    exact merge. The full (Q, N) score matrix never materializes."""
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    bs = min(block_size, n)
+    n_blocks = -(-n // bs)
+    pad = n_blocks * bs - n
+    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
+
+    block_k = min(k, bs)
+    queries = queries.astype(jnp.float32)
+
+    def body(carry, blk):
+        vals, idxs = carry
+        start = blk * bs
+        block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
+        scores = jnp.dot(
+            queries, block.T, preferred_element_type=jnp.float32
+        )  # (Q, bs)
+        cols = start + jnp.arange(bs, dtype=jnp.int32)
+        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+
+        bvals, bsel = fast_topk(scores, block_k, recall_target)
+        bidx = cols[bsel]
+
+        cand_vals = jnp.concatenate([vals, bvals], axis=1)
+        cand_idx = jnp.concatenate([idxs, bidx], axis=1)
+        mvals, msel = fast_topk(cand_vals, k)   # merge is always exact
+        midx = jnp.take_along_axis(cand_idx, msel, axis=1)
+        return (mvals, midx), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((q, k), dtype=jnp.int32),
+    )
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    return vals, idxs
+
+
+def _count_above(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    tau: jnp.ndarray,
+    block_size: int,
+    dense: bool,
+) -> jnp.ndarray:
+    """Per-query count of corpus items with score STRICTLY above ``tau``.
+
+    One extra streaming pass over the corpus (pure matmul + compare-reduce,
+    memory-bound) — the price of a *proof* of exactness.
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    queries = queries.astype(jnp.float32)
+    if dense:
+        scores = jnp.dot(queries, item_embs.T,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(scores > tau[:, None], axis=1).astype(jnp.int32)
+
+    bs = min(block_size, n)
+    n_blocks = -(-n // bs)
+    pad = n_blocks * bs - n
+    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
+
+    def body(count, blk):
+        start = blk * bs
+        block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
+        scores = jnp.dot(queries, block.T,
+                         preferred_element_type=jnp.float32)
+        cols = start + jnp.arange(bs, dtype=jnp.int32)
+        above = (scores > tau[:, None]) & (cols[None, :] < n)
+        return count + jnp.sum(above, axis=1).astype(jnp.int32), None
+
+    count, _ = jax.lax.scan(
+        body, jnp.zeros((q,), jnp.int32), jnp.arange(n_blocks)
+    )
+    return count
+
+
+def _verified_topk(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_size: int,
+    oversample: int = 4,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-pass exact top-k with a machine-checked proof.
+
+    Pass A: a recall-targeted PartialReduce prefilter selects m=oversample*k
+    candidates per query (the fast O(N) path — no exact-reduce cliff).
+    Pass B: with tau = the k-th candidate's TRUE score (approx_max_k returns
+    real scores of real items, it only ever *misses* items), count every
+    corpus item scoring strictly above tau. The candidate top-k is exact iff
+    that global count equals the count inside the candidate top-k: every
+    item beating tau is accounted for, and anything tied at tau cannot
+    change the top-k VALUES (replaces the reference's IVF pruning,
+    ``src/models/faiss_index.py:68-74,113``, with recall-1.0 certainty).
+
+    Returns (values (Q,k), indices (Q,k), exact (Q,) bool).
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    m = min(n, max(k + 1, oversample * k))
+    dense = q * n <= 256 * 1024 * 1024
+    if dense:
+        scores = jnp.dot(queries.astype(jnp.float32), item_embs.T,
+                         preferred_element_type=jnp.float32)
+        vals_m, idx_m = fast_topk(scores, m, recall_target)
+        tau = vals_m[:, k - 1]
+        count = jnp.sum(scores > tau[:, None], axis=1).astype(jnp.int32)
+    else:
+        # keep the per-block selection ratio small: blocks at least 4x the
+        # candidate count so the prefilter stays reduce-bound, not
+        # select-bound
+        bs_a = min(n, max(block_size, 4 * m))
+        vals_m, idx_m = _scan_topk(queries, item_embs, m, bs_a,
+                                   recall_target)
+        tau = vals_m[:, k - 1]
+        count = _count_above(queries, item_embs, tau, block_size, dense=False)
+    exact = certify_topk(vals_m, count, k)
+    return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32), exact
+
+
+def certify_topk(cand_vals: jnp.ndarray, count_above: jnp.ndarray,
+                 k: int) -> jnp.ndarray:
+    """Exactness certificate for a candidate top-k.
+
+    ``cand_vals`` (Q, m>=k) are TRUE scores of candidate items sorted
+    descending; ``count_above`` (Q,) is the global count of corpus items
+    scoring strictly above tau = cand_vals[:, k-1]. The candidate top-k is
+    value-exact iff every global above-tau item is inside the candidate
+    top-k — i.e. the two counts agree (anything tied at tau is
+    interchangeable by value).
+    """
+    tau = cand_vals[:, k - 1]
+    in_cand = jnp.sum(cand_vals[:, :k] > tau[:, None], axis=1).astype(jnp.int32)
+    return count_above.astype(jnp.int32) == in_cand
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mips_topk_verified(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_size: int = 4096,
+    oversample: int = 4,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jitted :func:`_verified_topk` (exposes the per-query exactness
+    certificate for callers that want to escalate themselves)."""
+    return _verified_topk(queries, item_embs, k, block_size, oversample,
+                          recall_target)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def mips_topk(
     queries: jnp.ndarray,
@@ -50,15 +212,18 @@ def mips_topk(
     block_size: int = 4096,
     mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming blocked top-k over the item corpus.
+    """Top-k over the item corpus.
 
     Args:
         queries: (Q, D) query vectors (L2-normalized upstream for cosine).
         item_embs: (N, D) item matrix.
         k: number of results per query (must be <= N).
         block_size: items per streamed block.
-        mode: 'exact' (lax.top_k merges) or 'approx'
-            (lax.approx_max_k per block, exact merge).
+        mode: 'exact' — always returns the true top-k. Small problems take
+            one exact partial reduce; large ones take the verified two-pass
+            prefilter+certificate, falling back (inside jit, via lax.cond)
+            to the full blocked exact scan only for the rare batch whose
+            certificate fails. 'approx' — recall-0.95 partial reduce.
 
     Returns:
         (values (Q, k), indices (Q, k)) sorted descending per query.
@@ -77,39 +242,16 @@ def mips_topk(
         recall = 1.0 if mode == "exact" else 0.95
         return mips_topk_dense(queries, item_embs, k, recall)
 
-    n_blocks = -(-n // bs)
-    pad = n_blocks * bs - n
-    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
+    if mode == "approx":
+        return _scan_topk(queries, item_embs, k, bs, 0.95)
 
-    block_k = min(k, bs)
-    queries = queries.astype(jnp.float32)
-
-    def body(carry, blk):
-        vals, idxs = carry
-        start = blk * bs
-        block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
-        scores = jnp.dot(
-            queries, block.T, preferred_element_type=jnp.float32
-        )  # (Q, bs)
-        cols = start + jnp.arange(bs, dtype=jnp.int32)
-        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
-
-        recall = 0.95 if mode == "approx" else 1.0
-        bvals, bsel = fast_topk(scores, block_k, recall)
-        bidx = cols[bsel]
-
-        cand_vals = jnp.concatenate([vals, bvals], axis=1)
-        cand_idx = jnp.concatenate([idxs, bidx], axis=1)
-        mvals, msel = fast_topk(cand_vals, k)   # merge is always exact
-        midx = jnp.take_along_axis(cand_idx, msel, axis=1)
-        return (mvals, midx), None
-
-    init = (
-        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
-        jnp.zeros((q, k), dtype=jnp.int32),
+    # exact at scale: verified two-pass, full-scan fallback inside jit
+    vals, idxs, exact = _verified_topk(queries, item_embs, k, bs)
+    return jax.lax.cond(
+        jnp.all(exact),
+        lambda: (vals, idxs),
+        lambda: _scan_topk(queries, item_embs, k, bs, 1.0),
     )
-    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
-    return vals, idxs
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

@@ -10,7 +10,14 @@ from recommendit_tpu.ops.bpr import (
     in_batch_bpr_pallas,
     pairwise_bpr_loss,
 )
-from recommendit_tpu.ops.topk import mips_topk, mips_topk_dense, mips_topk_numpy
+from recommendit_tpu.ops.topk import (
+    certify_topk,
+    mips_topk,
+    mips_topk_dense,
+    mips_topk_numpy,
+    mips_topk_verified,
+)
+from recommendit_tpu.ops import topk as topk_mod
 
 
 def _loop_in_batch_bpr(u, v):
@@ -130,3 +137,87 @@ class TestMIPSTopK:
         items /= np.linalg.norm(items, axis=1, keepdims=True)
         v, i = mips_topk(jnp.asarray(items[:10]), jnp.asarray(items), 1, 64)
         np.testing.assert_array_equal(np.asarray(i).ravel(), np.arange(10))
+
+
+class TestVerifiedTopK:
+    """Two-pass exact search: prefilter + exactness certificate
+    (replaces the reference's IVF pruning, faiss_index.py:68-74,113,
+    with a provable recall-1.0 result)."""
+
+    @pytest.fixture
+    def data(self):
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items = rng.normal(size=(5000, 16)).astype(np.float32)
+        return jnp.asarray(q), jnp.asarray(items)
+
+    def test_dense_pass_matches_numpy(self, data):
+        q, items = data
+        v, i, ok = mips_topk_verified(q, items, 20)
+        vn, idxn = mips_topk_numpy(q, items, 20)
+        assert np.asarray(ok).all()
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_blocked_pass_matches_numpy(self, data):
+        q, items = data
+        v, i, ok = topk_mod._verified_topk(q, items, 20, 512)
+        assert np.asarray(ok).all()
+        vn, idxn = mips_topk_numpy(q, items, 20)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_forced_blocked_path(self):
+        """Shapes past the dense cliff threshold route through the
+        verified two-pass inside mips_topk exact mode and stay exact."""
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(48, 8)), jnp.float32)
+        # q*n > 32M entries forces the non-dense exact route
+        items = jnp.asarray(rng.normal(size=(700_001, 8)), jnp.float32)
+        v, i = mips_topk(q, items, 10, 4096, "exact")
+        vn, idxn = mips_topk_numpy(q, items, 10)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_verified_blocked_branch_exact(self):
+        """Drive _verified_topk's blocked branch directly (the jit wrapper
+        picks dense for small problems)."""
+        rng = np.random.default_rng(13)
+        q = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(3000, 8)), jnp.float32)
+        # monkey-free: call the internal with a tiny dense limit impossible,
+        # i.e. invoke the blocked code path via _scan_topk + _count_above
+        vals_m, idx_m = topk_mod._scan_topk(q, items, 40, 256, 1.0)
+        tau = vals_m[:, 9]
+        count = topk_mod._count_above(q, items, tau, 256, dense=False)
+        ok = certify_topk(vals_m, count, 10)
+        assert np.asarray(ok).all()
+        vn, idxn = mips_topk_numpy(q, items, 10)
+        np.testing.assert_allclose(np.asarray(vals_m[:, :10]), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx_m[:, :10]), idxn)
+
+    def test_certificate_catches_missed_item(self):
+        """If the prefilter missed an above-tau item, the certificate must
+        fail (this is the property that makes the result PROVABLY exact)."""
+        rng = np.random.default_rng(17)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(2000, 16)), jnp.float32)
+        scores = np.asarray(q) @ np.asarray(items).T
+        order = np.argsort(-scores, axis=1)
+        # candidate list deliberately drops the TRUE argmax per query
+        cand_idx = order[:, 1:41]
+        cand_vals = np.take_along_axis(scores, cand_idx, axis=1)
+        k = 10
+        tau = cand_vals[:, k - 1]
+        count = (scores > tau[:, None]).sum(axis=1)
+        ok = certify_topk(jnp.asarray(cand_vals), jnp.asarray(count), k)
+        assert not np.asarray(ok).any()
+
+    def test_count_above_ties_are_safe(self):
+        """Items tied exactly at tau outside the candidates don't fail the
+        certificate (any tie-completion is value-exact)."""
+        cand_vals = jnp.asarray([[5.0, 4.0, 3.0, 3.0, 2.0]])
+        # corpus: {5,4,3,3,3,2,...}; tau = cand_vals[:,2] = 3 at k=3;
+        # strictly-above count = 2 (the 5 and the 4)
+        ok = certify_topk(cand_vals, jnp.asarray([2]), 3)
+        assert np.asarray(ok).all()
