@@ -1,15 +1,20 @@
-"""Blocked MIPS (maximum inner-product search) top-k.
+"""MIPS (maximum inner-product search) top-k.
 
 Replaces the reference's FAISS IVFFlat probe (``src/models/faiss_index.py``)
-with an exact full-corpus scan designed for the MXU: the corpus is streamed
-in item blocks, each block's scores come from one (Q, D) x (D, blk) matmul,
-and a running top-k per query is merged block by block — so the full (Q, N)
-score matrix never materializes in HBM. Exact MIPS ≥ IVF recall by
-construction (intentional behavior difference; the n_lists/n_probe recall
-knobs become unnecessary).
+with an exact MXU-first scan. Exact mode scores the corpus with true-f32
+matmuls and selects via **window-max pruning** (`_windowed_exact_topk`): a
+cheap per-64-item-window max pass finds the <=k windows that can possibly
+hold top-k items, only those windows' scores are gathered and reduced — so
+the selection cost is O(N/64 + k*64) instead of a full-width top-k, which
+falls off a PartialReduce cliff above ~16k-wide rows. Exact MIPS ≥ IVF
+recall by construction (intentional behavior difference; the
+n_lists/n_probe recall knobs become unnecessary), and unlike IVF the
+pruning is lossless for any input.
 
 Also provides ``approx`` mode via ``jax.lax.approx_max_k`` — the TPU-native
-recall-targeted top-k — for very large corpora.
+recall-targeted top-k — when a recall-0.95 contract is acceptable, and a
+``mips_topk_verified`` two-pass prefilter+certificate variant that exposes
+a per-query machine-checked exactness bit.
 
 The distributed (sharded-corpus) variant lives in
 ``recommendit_tpu.parallel.retrieval``.
@@ -21,6 +26,18 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Exact modes score with true-f32 MXU matmuls (multi-pass bf16): the TPU's
+# default matmul precision is bfloat16-grade, whose score noise reorders
+# deep-top-k tails — "exact" here means exact w.r.t. f32 scores, so every
+# exact-path dot pins precision=HIGHEST. Approx mode keeps the fast default.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _score(queries, items_t, precision):
+    """(Q, D) x (D, blk) score matmul with pinned precision."""
+    return jnp.dot(queries, items_t, preferred_element_type=jnp.float32,
+                   precision=precision)
 
 
 def fast_topk(scores, k: int, recall_target: float = 1.0):
@@ -35,10 +52,14 @@ def fast_topk(scores, k: int, recall_target: float = 1.0):
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def mips_topk_dense(queries, item_embs, k: int, recall_target: float = 1.0):
     """Single-shot top-k: one matmul + partial reduce over the full score
-    matrix. Exact at recall_target=1.0 (fast up to ~10^4-item rows);
-    recall_target<1 engages the O(N) PartialReduce and is the production
-    mode for very large corpora (55k QPS at 1M x 128 on one v5e)."""
-    scores = jnp.dot(queries, item_embs.T, preferred_element_type=jnp.float32)
+    matrix. Exact at recall_target=1.0 (fast up to ~10^4-item rows, f32
+    scoring); recall_target<1 engages the O(N) PartialReduce at default
+    matmul precision and is the production mode for very large corpora
+    (55k QPS at 1M x 128 on one v5e)."""
+    if recall_target >= 1.0:
+        scores = _score(queries, item_embs.T, _EXACT)
+        return _chunked_exact_reduce(scores, k)
+    scores = _score(queries, item_embs.T, None)
     return fast_topk(scores, k, recall_target)
 
 
@@ -48,6 +69,7 @@ def _scan_topk(
     k: int,
     block_size: int,
     recall_target: float,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming blocked top-k: per-block matmul + partial reduce, running
     exact merge. The full (Q, N) score matrix never materializes."""
@@ -65,9 +87,7 @@ def _scan_topk(
         vals, idxs = carry
         start = blk * bs
         block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
-        scores = jnp.dot(
-            queries, block.T, preferred_element_type=jnp.float32
-        )  # (Q, bs)
+        scores = _score(queries, block.T, precision)  # (Q, bs)
         cols = start + jnp.arange(bs, dtype=jnp.int32)
         scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
 
@@ -88,6 +108,103 @@ def _scan_topk(
     return vals, idxs
 
 
+_REDUCE_CHUNK = 16384  # exact PartialReduce is fast up to ~16k-wide rows
+_WINDOW = 64           # items per window in the window-max exact scheme
+_SCORE_BUDGET = 320 * 1024 * 1024  # max Q*N f32 score entries per column chunk
+
+
+def _chunked_exact_reduce(scores, k: int):
+    """Exact top-k along the last axis, avoiding the PartialReduce wide-row
+    cliff: reduce in <=16k-wide chunks, then exact-merge the chunk winners
+    (recursing while the merge row is itself too wide). Measured on a v5e:
+    a single exact reduce at 65k-wide costs ~9 ms vs ~0.4 ms per 16k chunk."""
+    q, w = scores.shape
+    if w <= _REDUCE_CHUNK:
+        return fast_topk(scores, k, 1.0)
+    nc = -(-w // _REDUCE_CHUNK)
+    pad = nc * _REDUCE_CHUNK - w
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    cv, ci = fast_topk(scores.reshape(q, nc, _REDUCE_CHUNK),
+                       min(k, _REDUCE_CHUNK), 1.0)
+    base = (jnp.arange(nc, dtype=jnp.int32) * _REDUCE_CHUNK)[None, :, None]
+    gi = (ci.astype(jnp.int32) + base).reshape(q, -1)
+    mv, ms = _chunked_exact_reduce(cv.reshape(q, -1), k)
+    return mv, jnp.take_along_axis(gi, ms, axis=1)
+
+
+def _windowed_exact_topk(scores, k: int):
+    """Exact top-k over a wide score matrix via window-max pruning.
+
+    The row is cut into W windows of L=64 columns; per-window maxima come
+    from one cheap ``reduce_window`` pass. The top-k items occupy at most k
+    distinct windows and every window holding one has window-max >= the
+    true k-th score, so the exact top-``wpad`` (>=k) windows BY MAX are
+    guaranteed to contain the entire true top-k (ties included — see
+    proof in tests/test_ops.py::TestWindowedExact). Only those windows'
+    scores are gathered (wpad*L wide) and exact-reduced. No certificate or
+    fallback is needed: the result is exact by construction, for any input.
+
+    This replaces the reference's IVF pruning (faiss_index.py:68-74,113)
+    with a recall-1.0 pruned scan: ~25x faster than a full-width exact
+    reduce at (256, 1M) on one v5e.
+    """
+    q, w = scores.shape
+    L = _WINDOW
+    wpad = max(512, (-(-(k + 1) // 128)) * 128)
+    n_win = -(-w // L)
+    if n_win <= wpad:           # pruning wouldn't drop anything
+        return _chunked_exact_reduce(scores, k)
+    pad = n_win * L - w
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    wmax = jax.lax.reduce_window(scores, -jnp.inf, jax.lax.max,
+                                 (1, L), (1, L), "VALID")      # (Q, n_win)
+    _, widx = _chunked_exact_reduce(wmax, wpad)
+    widx = widx.astype(jnp.int32)
+    slab = jnp.take_along_axis(scores.reshape(q, n_win, L),
+                               widx[:, :, None], axis=1)       # (Q, wpad, L)
+    mv, ms = _chunked_exact_reduce(slab.reshape(q, wpad * L), k)
+    win = jnp.take_along_axis(widx, ms // L, axis=1)
+    return mv, win * L + (ms % L)
+
+
+def _exact_topk(queries, item_embs, k: int):
+    """Exact MIPS top-k at any corpus size: f32 (HIGHEST) scoring, windowed
+    pruned selection, column-chunked so the live score slab never exceeds
+    ``_SCORE_BUDGET`` entries."""
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    queries = queries.astype(jnp.float32)
+    chunk = max(_REDUCE_CHUNK,
+                (_SCORE_BUDGET // q) // _REDUCE_CHUNK * _REDUCE_CHUNK)
+    if n <= chunk:
+        scores = _score(queries, item_embs.T, _EXACT)
+        return _windowed_exact_topk(scores, k)
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
+
+    def body(carry, blk):
+        vals, idxs = carry
+        start = blk * chunk
+        block = jax.lax.dynamic_slice(items, (start, 0), (chunk, d))
+        scores = _score(queries, block.T, _EXACT)
+        cols = start + jnp.arange(chunk, dtype=jnp.int32)
+        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+        bv, bi = _windowed_exact_topk(scores, min(k, chunk))
+        cand_v = jnp.concatenate([vals, bv], axis=1)
+        cand_i = jnp.concatenate([idxs, bi + start], axis=1)
+        mv, ms = _chunked_exact_reduce(cand_v, k)
+        return (mv, jnp.take_along_axis(cand_i, ms, axis=1)), None
+
+    init = (jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((q, k), dtype=jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return vals, idxs
+
+
 def _count_above(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -104,8 +221,7 @@ def _count_above(
     n = item_embs.shape[0]
     queries = queries.astype(jnp.float32)
     if dense:
-        scores = jnp.dot(queries, item_embs.T,
-                         preferred_element_type=jnp.float32)
+        scores = _score(queries, item_embs.T, _EXACT)
         return jnp.sum(scores > tau[:, None], axis=1).astype(jnp.int32)
 
     bs = min(block_size, n)
@@ -116,8 +232,7 @@ def _count_above(
     def body(count, blk):
         start = blk * bs
         block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
-        scores = jnp.dot(queries, block.T,
-                         preferred_element_type=jnp.float32)
+        scores = _score(queries, block.T, _EXACT)
         cols = start + jnp.arange(bs, dtype=jnp.int32)
         above = (scores > tau[:, None]) & (cols[None, :] < n)
         return count + jnp.sum(above, axis=1).astype(jnp.int32), None
@@ -154,9 +269,12 @@ def _verified_topk(
     n = item_embs.shape[0]
     m = min(n, max(k + 1, oversample * k))
     dense = q * n <= 256 * 1024 * 1024
+    # Both passes pin precision=HIGHEST so pass-A candidate values (and tau)
+    # agree bit-for-bit with pass-B scores of the same items; an ulp-level
+    # divergence could only FAIL the certificate (safe fallback), never
+    # falsely pass it for a genuinely missed item.
     if dense:
-        scores = jnp.dot(queries.astype(jnp.float32), item_embs.T,
-                         preferred_element_type=jnp.float32)
+        scores = _score(queries.astype(jnp.float32), item_embs.T, _EXACT)
         vals_m, idx_m = fast_topk(scores, m, recall_target)
         tau = vals_m[:, k - 1]
         count = jnp.sum(scores > tau[:, None], axis=1).astype(jnp.int32)
@@ -166,7 +284,7 @@ def _verified_topk(
         # select-bound
         bs_a = min(n, max(block_size, 4 * m))
         vals_m, idx_m = _scan_topk(queries, item_embs, m, bs_a,
-                                   recall_target)
+                                   recall_target, precision=_EXACT)
         tau = vals_m[:, k - 1]
         count = _count_above(queries, item_embs, tau, block_size, dense=False)
     exact = certify_topk(vals_m, count, k)
@@ -218,12 +336,13 @@ def mips_topk(
         queries: (Q, D) query vectors (L2-normalized upstream for cosine).
         item_embs: (N, D) item matrix.
         k: number of results per query (must be <= N).
-        block_size: items per streamed block.
-        mode: 'exact' — always returns the true top-k. Small problems take
-            one exact partial reduce; large ones take the verified two-pass
-            prefilter+certificate, falling back (inside jit, via lax.cond)
-            to the full blocked exact scan only for the rare batch whose
-            certificate fails. 'approx' — recall-0.95 partial reduce.
+        block_size: items per streamed block (approx mode only; the exact
+            path sizes its own column chunks from the score-memory budget).
+        mode: 'exact' — always returns the true top-k w.r.t. f32 scores
+            (precision=HIGHEST matmul), via window-max pruned selection —
+            exact by construction at any corpus size, no recall knob.
+            'approx' — recall-0.95 partial reduce at default (fast bf16)
+            matmul precision.
 
     Returns:
         (values (Q, k), indices (Q, k)) sorted descending per query.
@@ -232,26 +351,14 @@ def mips_topk(
     n = item_embs.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds corpus size {n}")
+    if mode == "exact":
+        return _exact_topk(queries, item_embs, k)
+
     bs = min(block_size, n)
-    # Dense single-shot wins while the full (Q, N) score matrix is cheap to
-    # materialize (one matmul + one partial reduce, no merge chain). The
-    # exact partial reduce has a size cliff around ~10^4-wide rows, so the
-    # exact mode keeps a tighter dense threshold than approx.
-    dense_limit = (32 if mode == "exact" else 512) * 1024 * 1024
+    dense_limit = 512 * 1024 * 1024
     if n <= max(bs, k) or q * n <= dense_limit:
-        recall = 1.0 if mode == "exact" else 0.95
-        return mips_topk_dense(queries, item_embs, k, recall)
-
-    if mode == "approx":
-        return _scan_topk(queries, item_embs, k, bs, 0.95)
-
-    # exact at scale: verified two-pass, full-scan fallback inside jit
-    vals, idxs, exact = _verified_topk(queries, item_embs, k, bs)
-    return jax.lax.cond(
-        jnp.all(exact),
-        lambda: (vals, idxs),
-        lambda: _scan_topk(queries, item_embs, k, bs, 1.0),
-    )
+        return mips_topk_dense(queries, item_embs, k, 0.95)
+    return _scan_topk(queries, item_embs, k, bs, 0.95)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

@@ -139,6 +139,78 @@ class TestMIPSTopK:
         np.testing.assert_array_equal(np.asarray(i).ravel(), np.arange(10))
 
 
+class TestWindowedExact:
+    """Window-max pruned exact selection (the exact-mode hot path).
+
+    Exactness proof: let tau = the true k-th largest score. Any window
+    containing an item with score > tau has window-max > tau, and at most
+    k-1 items score > tau, so at most k-1 windows have window-max > tau —
+    all of them rank inside the exact top-wpad (wpad >= k) windows BY MAX.
+    Every selected window additionally has window-max >= any unselected
+    one, so if ties at tau span many windows, the selected wpad windows
+    still contribute >= min(wpad, #windows with max >= tau) >= enough
+    items >= tau to complete a value-exact top-k."""
+
+    def test_matches_numpy_wide(self):
+        rng = np.random.default_rng(3)
+        s = jnp.asarray(rng.normal(size=(8, 200_000)), jnp.float32)
+        v, i = jax.jit(lambda x: topk_mod._windowed_exact_topk(x, 100))(s)
+        order = np.argsort(-np.asarray(s), axis=1)[:, :100]
+        np.testing.assert_array_equal(np.asarray(i), order)
+
+    def test_adversarial_clustered(self):
+        """All top-k items packed into a handful of adjacent windows —
+        the worst case for window pruning — still exact."""
+        rng = np.random.default_rng(5)
+        s = rng.normal(size=(4, 100_000)).astype(np.float32)
+        s[:, 500:1500] += 100.0  # 1000 huge scores in ~16 windows
+        v, i = jax.jit(lambda x: topk_mod._windowed_exact_topk(x, 600))(
+            jnp.asarray(s))
+        # f32 values at ~100 are ~7.6e-6 apart, so exact ties occur among
+        # 1000 normal samples: assert value-exactness + valid completion
+        vn = -np.sort(-s, axis=1)[:, :600]
+        np.testing.assert_array_equal(np.asarray(v), vn)
+        for r in range(4):
+            idx = np.asarray(i)[r]
+            assert len(set(idx.tolist())) == 600
+            np.testing.assert_array_equal(s[r, idx], np.asarray(v)[r])
+
+    def test_ties_value_exact(self):
+        """Massive exact-value ties around the k-th score: returned VALUES
+        must match the true top-k values (any tie completion is exact)."""
+        rng = np.random.default_rng(7)
+        s = rng.normal(size=(2, 80_000)).astype(np.float32)
+        s[:, ::7] = 1.25  # ~11k exactly-tied values spanning all windows
+        k = 300
+        v, i = jax.jit(lambda x: topk_mod._windowed_exact_topk(x, k))(
+            jnp.asarray(s))
+        vn = -np.sort(-s, axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(v), vn)
+        # returned indices must be distinct and actually hold those values
+        for r in range(2):
+            idx = np.asarray(i)[r]
+            assert len(set(idx.tolist())) == k
+            np.testing.assert_array_equal(s[r, idx], np.asarray(v)[r])
+
+    def test_chunked_reduce_matches(self):
+        rng = np.random.default_rng(9)
+        s = jnp.asarray(rng.normal(size=(4, 50_000)), jnp.float32)
+        v, i = jax.jit(lambda x: topk_mod._chunked_exact_reduce(x, 37))(s)
+        order = np.argsort(-np.asarray(s), axis=1)[:, :37]
+        np.testing.assert_array_equal(np.asarray(i), order)
+
+    def test_column_chunked_corpus(self, monkeypatch):
+        """Force the multi-column-chunk scan path of _exact_topk."""
+        monkeypatch.setattr(topk_mod, "_SCORE_BUDGET", 4 * 65536)
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items_np = rng.normal(size=(150_000, 16)).astype(np.float32)
+        v, i = topk_mod._exact_topk(q, jnp.asarray(items_np), 50)
+        vn, idxn = mips_topk_numpy(q, items_np, 50)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-5, atol=1e-5)
+
+
 class TestVerifiedTopK:
     """Two-pass exact search: prefilter + exactness certificate
     (replaces the reference's IVF pruning, faiss_index.py:68-74,113,
