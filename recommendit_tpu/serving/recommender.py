@@ -205,15 +205,18 @@ class RecommendationPipeline:
         self._maybe_build_seen(data, n_users, n_items)
 
     def _maybe_build_seen(self, data, n_users: int, n_items: int) -> None:
-        self._seen_table = None
+        self._seen = None
         if self.cfg.FILTER_SEEN:
-            # dense (n_users+1, n_items+1) seen mask; fine to ~10^4 x 10^4
-            # scale (ML-1M: 24 MB) — larger catalogs should shard it or use
-            # a bloom structure
-            seen = np.zeros((n_users + 1, n_items + 1), dtype=bool)
-            seen[data.ratings["user_id"].values,
-                 data.ratings["item_id"].values] = True
-            self._seen_table = jnp.asarray(seen)
+            # sorted-key (user*stride+item) set: 8 B/rating, one binary
+            # search per candidate inside the fused program — scales to
+            # ML-25M (200 MB) where the round-1 dense bool mask was 10 GB
+            from recommendit_tpu.ops.seen import SeenSet
+
+            self._seen = SeenSet(
+                data.ratings["user_id"].values,
+                data.ratings["item_id"].values,
+                n_items,
+            )
 
     def _build_serve_fn(self) -> None:
         """Compile the fused serve path once.
@@ -238,8 +241,14 @@ class RecommendationPipeline:
         retrieve = self.index.make_device_searcher(n_cand)
 
         from recommendit_tpu.ops.topk import fast_topk
+        from recommendit_tpu.ops.seen import seen_mask_jnp
 
-        seen_table = self._seen_table
+        if self._seen is not None:
+            seen_indptr, seen_cols = self._seen.device_arrays()
+            seen_steps = self._seen.search_steps
+        else:
+            seen_indptr = seen_cols = None
+            seen_steps = 0
         # ranker trained with the tower similarity as its 51st feature?
         use_rscore = (
             self.ranker.feature_names
@@ -262,8 +271,10 @@ class RecommendationPipeline:
             if use_rscore:
                 feats = jnp.concatenate([feats, rvals[:, None]], axis=1)
             scores = score_fn(feats)
-            if seen_table is not None:
-                seen = jnp.take(seen_table[user_id], cand_ids)
+            if seen_cols is not None:
+                seen = seen_mask_jnp(
+                    seen_indptr, seen_cols, seen_steps, user_id, cand_ids
+                )
                 scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
@@ -289,9 +300,10 @@ class RecommendationPipeline:
             if use_rscore:
                 feats = jnp.concatenate([feats, rvals[:, :, None]], axis=2)
             scores = score_fn(feats)                             # (B, C)
-            if seen_table is not None:
-                seen = jnp.take_along_axis(
-                    jnp.take(seen_table, user_ids, axis=0), cand_ids, axis=1
+            if seen_cols is not None:
+                seen = seen_mask_jnp(
+                    seen_indptr, seen_cols, seen_steps,
+                    user_ids[:, None], cand_ids,
                 )
                 scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)

@@ -85,11 +85,14 @@ class EmbeddingTrainer:
         self.pos_users = pos["user_id"].values.astype(np.int32)
         self.pos_items = pos["item_id"].values.astype(np.int32)
         self.genre_table = build_genre_table(data.movies, self.n_items)
-        # rated set for pairwise rejection sampling, as a bitmask table
-        self._rated = np.zeros((self.n_users + 1, self.n_items + 1), dtype=bool) \
-            if (self.n_users + 1) * (self.n_items + 1) <= 5e7 else None
-        if self._rated is not None:
-            self._rated[r["user_id"].values, r["item_id"].values] = True
+        # rated set for pairwise rejection sampling — CSR sorted-key set,
+        # 4 B/rating at any scale (round 1 used a dense bool table capped
+        # at 5e7 cells, which silently skipped rejection at ML-25M shapes)
+        from recommendit_tpu.ops.seen import SeenSet
+
+        self._rated = SeenSet(
+            r["user_id"].values, r["item_id"].values, self.n_items
+        )
         logger.info(
             "Trainer: %d positives, %d users, %d items, loss=%s",
             len(self.pos_users), self.n_users, self.n_items, loss_mode,
@@ -179,12 +182,11 @@ class EmbeddingTrainer:
         i = self.pos_items[perm[:take]].reshape(n_batches, batch_size)
         if self.loss_mode == "pairwise":
             neg = rng.integers(1, self.n_items + 1, size=(n_batches, batch_size))
-            if self._rated is not None:
-                for _ in range(4):  # a few rejection rounds suffice
-                    bad = self._rated[u, neg]
-                    if not bad.any():
-                        break
-                    neg[bad] = rng.integers(1, self.n_items + 1, size=int(bad.sum()))
+            for _ in range(4):  # a few rejection rounds suffice
+                bad = self._rated.contains(u, neg)
+                if not bad.any():
+                    break
+                neg[bad] = rng.integers(1, self.n_items + 1, size=int(bad.sum()))
             neg = neg.astype(np.int32)
         else:
             neg = np.zeros_like(u)
