@@ -54,6 +54,14 @@ class Settings:
     FEATURE_CACHE_TTL_SECONDS: int = 3600
 
     # --- Training (reference :21-26) ---
+    # Fraction of interactions (earliest by time) visible to the training
+    # stages. The reference README documents a 90/10 temporal split, but
+    # its implementation trains the towers, features, and ranker on the
+    # FULL ratings file (``train_embeddings.py:134-143``) — the test tail
+    # leaks into the per-ID embeddings, which memorize test positives and
+    # mask any re-ranker lift. 0.9 follows the documented protocol
+    # (default); 1.0 reproduces the reference implementation's behavior.
+    TRAIN_SPLIT_FRACTION: float = 0.9
     N_NEGATIVES: int = 4
     TRAIN_EPOCHS: int = 60   # reference default is 10; the logQ softmax objective
     # keeps improving to ~60+ epochs (retrieval NDCG@10 0.070 -> 0.120 on the
@@ -130,7 +138,12 @@ class Settings:
     CTR_SMALL_VOCAB_THRESHOLD: int = 4096
 
     # --- Serving options beyond the reference ---
-    FILTER_SEEN: bool = False    # exclude items the user already interacted with
+    # Exclude items the user already interacted with (production-standard;
+    # CSR sorted-key filter inside the fused serve program). The reference
+    # never filters — set False for its exact serving behavior. Under the
+    # temporal eval protocol seen items can never be test hits, so the
+    # evaluate stage applies the same filter to ALL ladder rows when on.
+    FILTER_SEEN: bool = True
     MICRO_BATCH: bool = False    # coalesce concurrent requests into one device call
     MICRO_BATCH_MAX: int = 256
     MICRO_BATCH_WAIT_MS: float = 2.0

@@ -36,7 +36,9 @@ class MovieLensData:
 
     @property
     def n_users(self) -> int:
-        return int(self.ratings["user_id"].max())
+        return int(
+            max(self.ratings["user_id"].max(), self.users["user_id"].max())
+        )
 
     @property
     def n_items(self) -> int:

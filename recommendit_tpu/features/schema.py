@@ -154,7 +154,10 @@ def assemble_packed_np(user_vec: np.ndarray, item_mat: np.ndarray) -> np.ndarray
     i_scal, i_genre = item_mat[:, :ni], item_mat[:, ni:]
     rating_diff = u_scal[0] - i_scal[:, 0]
     pop_ratio = u_scal[1] / (i_scal[:, 1] + 1e-8)
-    affinity = i_genre @ u_genre
+    # multiply-then-sum (not BLAS matvec) so the f32 accumulation order is
+    # identical to the offline pandas join — the skew stage asserts the two
+    # views are bit-equal, and sgemv vs np.sum reduce in different orders
+    affinity = np.sum(i_genre * u_genre, axis=1)
     return np.concatenate(
         [
             np.broadcast_to(u_scal, (c, nu)),
@@ -263,20 +266,33 @@ def assemble_frame(
     (renamed ``item_*``) + rating_diff / popularity ratio / genre affinity +
     expanded 2x18 genre columns, NaN→0.
     """
-    user_scalar = user_features[["user_id"] + USER_SCALAR_COLS]
+    # scalars round through float32 BEFORE the derived arithmetic so this
+    # offline join is bit-identical to the packed f32 online/device paths
+    # (the skew stage asserts max KL == 0 across all three views)
+    user_scalar = user_features[["user_id"] + USER_SCALAR_COLS].astype(
+        {c: np.float32 for c in USER_SCALAR_COLS}
+    )
     item_scalar = item_features[
         ["item_id", "avg_rating", "log_rating_count", "popularity_score",
          "rating_stddev", "year_normalized"]
     ].rename(columns={"avg_rating": "item_avg_rating",
                       "log_rating_count": "item_log_rating_count"})
+    item_scalar = item_scalar.astype(
+        {c: np.float32 for c in item_scalar.columns if c != "item_id"}
+    )
 
     keep = [c for c in ("user_id", "item_id", "label", "query_id") if c in pairs_df]
     merged = pairs_df[keep].merge(user_scalar, on="user_id", how="left")
     merged = merged.merge(item_scalar, on="item_id", how="left")
 
-    merged["rating_diff"] = merged["avg_rating"] - merged["item_avg_rating"]
+    merged["rating_diff"] = (
+        merged["avg_rating"].to_numpy(np.float32)
+        - merged["item_avg_rating"].to_numpy(np.float32)
+    )
     merged["user_item_popularity_ratio"] = (
-        merged["log_rating_count"] / (merged["item_log_rating_count"] + 1e-8)
+        merged["log_rating_count"].to_numpy(np.float32)
+        / (merged["item_log_rating_count"].to_numpy(np.float32)
+           + np.float32(1e-8))
     )
 
     ugm = np.stack(user_features["genre_pref"].values).astype(np.float32)
@@ -288,9 +304,11 @@ def assemble_frame(
 
     merged = merged.merge(user_genre_df, on="user_id", how="left")
     merged = merged.merge(item_genre_df, on="item_id", how="left")
-    merged["genre_affinity"] = np.einsum(
-        "ij,ij->i",
-        merged[USER_GENRE_COLS].fillna(0.0).values,
-        merged[ITEM_GENRE_COLS].fillna(0.0).values,
+    # same op + dtype + accumulation order as assemble_packed_np (bit-equal
+    # across the offline/online views — asserted by the skew stage)
+    merged["genre_affinity"] = np.sum(
+        merged[USER_GENRE_COLS].fillna(0.0).to_numpy(np.float32)
+        * merged[ITEM_GENRE_COLS].fillna(0.0).to_numpy(np.float32),
+        axis=1,
     )
     return merged.fillna(0.0)

@@ -58,17 +58,30 @@ class MIPSIndex:
         self.dtype = dtype
         self.quant_seed = quant_seed
         self.item_ids: Optional[np.ndarray] = None       # (N,) int64
-        self._embs: Optional[jnp.ndarray] = None          # (N, D) on device
+        self._embs: Optional[jnp.ndarray] = None          # (N, D[+1]) on device
         self._scales: Optional[jnp.ndarray] = None        # (N,) f32 (int8)
         self._ids_dev: Optional[jnp.ndarray] = None
+        self._bias_np: Optional[np.ndarray] = None        # (N,) f32 score bias
 
     # ------------------------------------------------------------------ #
     # Build                                                                #
     # ------------------------------------------------------------------ #
 
-    def build(self, embeddings: np.ndarray, item_ids: np.ndarray) -> None:
+    def build(
+        self,
+        embeddings: np.ndarray,
+        item_ids: np.ndarray,
+        bias: Optional[np.ndarray] = None,
+    ) -> None:
         """Normalize and place the catalog on device
-        (replaces IVF train+add, reference ``faiss_index.py:45-82``)."""
+        (replaces IVF train+add, reference ``faiss_index.py:45-82``).
+
+        ``bias``: optional (N,) per-item additive score — the two-tower's
+        learned popularity bias, pre-scaled by the softmax temperature.
+        Stored as an extra matrix column so the score ``q·e + b`` is ONE
+        MIPS dot against ``[q, 1]``; every search path (exact / windowed /
+        approx / int8 / fused Pallas / sharded ring) handles it untouched.
+        """
         if embeddings.ndim != 2 or embeddings.shape[1] != self.embedding_dim:
             raise ValueError(
                 f"embeddings must be (N, {self.embedding_dim}), "
@@ -77,6 +90,13 @@ class MIPSIndex:
         if len(item_ids) != len(embeddings):
             raise ValueError("item_ids and embeddings length mismatch")
         embs = _l2_normalize_np(np.asarray(embeddings, np.float32))
+        if bias is not None:
+            if len(bias) != len(embs):
+                raise ValueError("bias and embeddings length mismatch")
+            self._bias_np = np.asarray(bias, np.float32)
+            embs = np.concatenate([embs, self._bias_np[:, None]], axis=1)
+        else:
+            self._bias_np = None
         self.item_ids = np.asarray(item_ids, np.int64)
         if self.dtype == "int8":
             from recommendit_tpu.ops.quantize import quantize_int8_jnp
@@ -125,6 +145,18 @@ class MIPSIndex:
         vals, ids = self.search_device(jnp.asarray(q), k)
         return np.asarray(vals), np.asarray(ids).astype(np.int64)
 
+    @property
+    def has_bias(self) -> bool:
+        return self._bias_np is not None
+
+    def _augment(self, queries: jnp.ndarray) -> jnp.ndarray:
+        """Append the ones column matching the stored bias column (no-op
+        for bias-free indexes or already-augmented queries)."""
+        if self.has_bias and queries.shape[-1] == self.embedding_dim:
+            ones = jnp.ones(queries.shape[:-1] + (1,), queries.dtype)
+            return jnp.concatenate([queries, ones], axis=-1)
+        return queries
+
     def search_device(self, queries: jnp.ndarray, k: int):
         """Device-to-device search (no host transfer) for jitted serving:
         returns (scores, item_ids) as jnp arrays."""
@@ -134,6 +166,7 @@ class MIPSIndex:
     def search_device_positions(self, queries: jnp.ndarray, k: int):
         """Like :meth:`search_device` but returns corpus POSITIONS instead
         of item ids (the fused serve fn gathers ids itself)."""
+        queries = self._augment(queries)
         if self.dtype == "int8":
             from recommendit_tpu.ops.topk import mips_topk_int8
 
@@ -154,19 +187,22 @@ class MIPSIndex:
         (Q, D) queries → (scores (Q,k), positions (Q,k))."""
         embs, scales = self._embs, self._scales
         block, mode, dtype = self.block_size, self.mode, self.dtype
+        aug = self._augment
 
         if dtype == "int8":
             from recommendit_tpu.ops.topk import mips_topk_int8
 
-            return lambda q: mips_topk_int8(q, embs, scales, k, block, mode)
+            return lambda q: mips_topk_int8(aug(q), embs, scales, k, block,
+                                            mode)
         if mode == "fused":
             import jax
 
             from recommendit_tpu.ops.pallas_mips import mips_topk_fused
 
             interpret = jax.devices()[0].platform != "tpu"
-            return lambda q: mips_topk_fused(q, embs, k, block, 32, interpret)
-        return lambda q: mips_topk(q, embs, k, block, mode)
+            return lambda q: mips_topk_fused(aug(q), embs, k, block, 32,
+                                             interpret)
+        return lambda q: mips_topk(aug(q), embs, k, block, mode)
 
     # ------------------------------------------------------------------ #
     # Persistence                                                          #
@@ -178,18 +214,29 @@ class MIPSIndex:
         if self.dtype == "int8":
             # persist the quantized corpus exactly (4x smaller file; no
             # re-quantization noise on reload)
+            extras = (
+                {"bias": self._bias_np} if self._bias_np is not None else {}
+            )
             np.savez(
                 p,
                 embeddings_i8=np.asarray(self._embs),
                 scales=np.asarray(self._scales, np.float32),
                 item_ids=self.item_ids,
+                **extras,
             )
         else:
+            extras = (
+                {"bias": self._bias_np} if self._bias_np is not None else {}
+            )
             np.savez(
                 p,
-                # persist as f32 regardless of device dtype (npz has no bf16)
-                embeddings=np.asarray(self._embs, np.float32),
+                # persist as f32 regardless of device dtype (npz has no bf16);
+                # store the un-augmented matrix — build() re-appends the bias
+                embeddings=np.asarray(
+                    self._embs, np.float32
+                )[:, : self.embedding_dim],
                 item_ids=self.item_ids,
+                **extras,
             )
         meta = {
             "embedding_dim": self.embedding_dim,
@@ -221,8 +268,13 @@ class MIPSIndex:
                 idx._embs = jnp.asarray(data["embeddings_i8"], jnp.int8)
                 idx._scales = jnp.asarray(data["scales"], jnp.float32)
                 idx._ids_dev = jnp.asarray(idx.item_ids, jnp.int32)
+                if "bias" in data.files:
+                    idx._bias_np = np.asarray(data["bias"], np.float32)
             else:
-                idx.build(data["embeddings"], data["item_ids"])
+                idx.build(
+                    data["embeddings"], data["item_ids"],
+                    bias=data["bias"] if "bias" in data.files else None,
+                )
         return idx
 
     # ------------------------------------------------------------------ #
@@ -237,6 +289,7 @@ class MIPSIndex:
             "block_size": self.block_size,
             "mode": self.mode,
             "dtype": self.dtype,
+            "has_bias": self.has_bias,
             # int8 ranking error is bounded by the quantization step;
             # measured recall@500 >= 0.99 on normalized tower embeddings
             "recall": 1.0 if self.mode == "exact" and self.dtype != "int8"

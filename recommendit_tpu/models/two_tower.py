@@ -67,6 +67,12 @@ def init_params(
         "item_w2": _glorot(keys[5], (hidden_dim, embed_dim), dtype),
         "item_b2": jnp.zeros((embed_dim,), dtype),
     }
+    # learned per-item score bias (sampling-bias-corrected retrieval, Yi et
+    # al. 2019): training logits are cos/T + b − log q, so b absorbs the
+    # user-independent (popularity) part of log p(i|u) that an L2-normalized
+    # cosine cannot express. Served MIPS-natively via an augmented column
+    # ([emb, T·b] · [user, 1]) — no retrieval kernel changes.
+    params["item_bias"] = jnp.zeros((n_items + 1,), dtype)
     # zero the padding rows
     params["user_embed"] = params["user_embed"].at[0].set(0.0)
     params["item_embed"] = params["item_embed"].at[0].set(0.0)
@@ -219,6 +225,14 @@ class TwoTowerModel:
             out.append(np.asarray(self._jit_item(self.params, ids, g)))
         return np.concatenate(out, axis=0) if out else np.zeros((0, self.embed_dim))
 
+    def item_bias_np(self, item_ids: np.ndarray) -> np.ndarray:
+        """Learned per-item score bias values for the given ids (zeros on
+        checkpoints trained without the bias term)."""
+        return np.asarray(
+            jnp.take(self.params["item_bias"], jnp.asarray(item_ids)),
+            dtype=np.float32,
+        )
+
     def precompute_item_embeddings(
         self, item_ids: np.ndarray, genre_matrix: np.ndarray
     ) -> np.ndarray:
@@ -253,6 +267,8 @@ class TwoTowerModel:
         meta = json.loads(Path(str(p) + ".meta.json").read_text())
         with np.load(p) as data:
             params = {k: jnp.asarray(data[k]) for k in data.files}
+        if "item_bias" not in params:  # pre-bias checkpoints
+            params["item_bias"] = jnp.zeros((meta["n_items"] + 1,), jnp.float32)
         model = cls(params=params, **meta)
         logger.info("Loaded two-tower model from %s (dim=%d)", p, model.embed_dim)
         return model

@@ -128,6 +128,7 @@ def in_batch_softmax_loss(
     item_emb,
     log_q=None,
     temperature: float = 0.05,
+    item_bias=None,
 ):
     """In-batch sampled softmax with logQ correction.
 
@@ -144,11 +145,17 @@ def in_batch_softmax_loss(
         log_q: (B,) log sampling probability of each in-batch item (None →
             uniform, no correction).
         temperature: cosine logit divisor.
+        item_bias: (B,) learned per-item score bias added to the logits —
+            absorbs the user-independent (popularity) component of
+            log p(i|u) that normalized cosines cannot express; served via
+            the MIPS-augmented column (``MIPSIndex.build(bias=...)``).
     """
     b = user_emb.shape[0]
     scores = jnp.dot(
         user_emb, item_emb.T, preferred_element_type=jnp.float32
     ) / temperature
+    if item_bias is not None:
+        scores = scores + item_bias[None, :]
     if log_q is not None:
         scores = scores - log_q[None, :]
     log_probs = jax.nn.log_softmax(scores, axis=1)

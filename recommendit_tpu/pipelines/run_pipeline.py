@@ -87,6 +87,30 @@ class PipelineOrchestrator:
             self._data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
         return self._data
 
+    def _train_view(self) -> MovieLensData:
+        """The temporal train split visible to the training stages.
+
+        The reference README documents a 90/10 time split but its
+        implementation trains on the full ratings file
+        (``train_embeddings.py:134-143``), leaking the test window into
+        the towers (per-ID embeddings memorize test positives, erasing
+        any measurable re-ranker lift). ``TRAIN_SPLIT_FRACTION=1.0``
+        reproduces that behavior; the 0.9 default follows the documented
+        protocol. Users/movies tables stay full so model table sizes and
+        the catalog are unchanged.
+        """
+        data = self._load_data()
+        frac = self.cfg.TRAIN_SPLIT_FRACTION
+        if frac >= 1.0:
+            return data
+        r = data.ratings.sort_values("timestamp")
+        cut = int(len(r) * frac)
+        return MovieLensData(
+            ratings=r.iloc[:cut].reset_index(drop=True),
+            users=data.users,
+            movies=data.movies,
+        )
+
     # ------------------------------------------------------------------ #
     # Stages                                                               #
     # ------------------------------------------------------------------ #
@@ -104,7 +128,7 @@ class PipelineOrchestrator:
             download_movielens(str(Path(self.data_dir).parent))
 
     def run_features(self):
-        data = self._load_data()
+        data = self._train_view()
         fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
         fe.set_data(data)
         fe.build_user_features()
@@ -134,7 +158,7 @@ class PipelineOrchestrator:
         crashed run continues instead of restarting, SURVEY.md §5.3/§5.4)."""
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
 
-        data = self._load_data()
+        data = self._train_view()
         ckpt_dir = self.models_dir / "two_tower_ckpt"
         trainer = EmbeddingTrainer(
             data, self.cfg,
@@ -152,7 +176,7 @@ class PipelineOrchestrator:
     def run_index(self):
         from recommendit_tpu.training.build_index import IndexBuilder
 
-        data = self._load_data()
+        data = self._train_view()
         IndexBuilder(
             data, self.cfg,
             model_path=self.cfg.EMBEDDING_MODEL_PATH,
@@ -162,7 +186,7 @@ class PipelineOrchestrator:
     def run_ranker(self):
         from recommendit_tpu.training.train_ranker import RankerTrainer
 
-        data = self._load_data()
+        data = self._train_view()
         trainer = RankerTrainer(
             data, self.cfg,
             ranker_output_path=self.cfg.RANKER_MODEL_PATH,
@@ -199,20 +223,38 @@ class PipelineOrchestrator:
             features_dir=self.features_dir,
             cfg=self.cfg,
         )
-        pipeline.load(data)
+        # the serving pipeline may only see train-time data (popularity
+        # fallback, seen-filter, packed features) — the truth split above
+        # intentionally comes from the full timeline
+        pipeline.load(self._train_view())
         recs = pipeline.batch_recommend(users, k=20)
 
         # popularity + retrieval-only baselines for the report (the
-        # reference publishes all three rows, README.md:36-38)
-        pop = (
+        # reference publishes all three rows, README.md:36-38). When
+        # FILTER_SEEN is on, every ladder row filters the user's train-time
+        # items the same way the serving path does — already-rated pairs
+        # cannot be test hits under the temporal protocol, and comparing a
+        # filtered pipeline against unfiltered baselines would be apples to
+        # oranges.
+        seen_train = (
+            {u: set(g.values)
+             for u, g in train_r.groupby("user_id")["item_id"]}
+            if self.cfg.FILTER_SEEN else {}
+        )
+
+        def _filtered(u, ordered_ids, k=20):
+            s = seen_train.get(u, ())
+            return [int(i) for i in ordered_ids if i not in s][:k]
+
+        pop_all = (
             train_r.groupby("item_id").size().sort_values(ascending=False)
-            .index[:20].tolist()
+            .index.tolist()
         )
         report = evaluate_model(
             recs, truth, k_values=[5, 10, 20], catalog_size=data.n_items
         )
         pop_report = evaluate_model(
-            {u: pop for u in users}, truth, k_values=[10, 20]
+            {u: _filtered(u, pop_all) for u in users}, truth, k_values=[10, 20]
         )
         report["popularity_ndcg@10"] = pop_report["ndcg@10"]
         report["popularity_recall@20"] = pop_report["recall@20"]
@@ -221,8 +263,14 @@ class PipelineOrchestrator:
         known = [u for u in users if 1 <= u <= pipeline.model.n_users]
         if known:
             q = np.stack([pipeline.model.get_user_embedding(u) for u in known])
-            _, ids = pipeline.index.batch_search(q, k=20)
-            retr_recs = {u: ids[i].tolist() for i, u in enumerate(known)}
+            k_search = (
+                min(self.cfg.TOP_K_CANDIDATES, pipeline.index.n_total)
+                if self.cfg.FILTER_SEEN else 20
+            )
+            _, ids = pipeline.index.batch_search(q, k=k_search)
+            retr_recs = {
+                u: _filtered(u, ids[i].tolist()) for i, u in enumerate(known)
+            }
             retr_report = evaluate_model(retr_recs, truth, k_values=[10, 20])
             report["retrieval_only_ndcg@10"] = retr_report["ndcg@10"]
             report["retrieval_only_recall@20"] = retr_report["recall@20"]
@@ -250,7 +298,10 @@ class PipelineOrchestrator:
         )
         import pandas as pd
 
-        data = self._load_data()
+        # same train view the features stage built from — training pairs
+        # sampled from the test window would see ratings the persisted
+        # feature tables (correctly) never counted, reading as false skew
+        data = self._train_view()
         fe = FeatureEngineer(self.data_dir, seed=self.cfg.SEED)
         fe.set_data(data)
         fe.load_features(self.features_dir)

@@ -56,6 +56,11 @@ class IndexBuilder:
             dtype=self.cfg.INDEX_DTYPE,
             quant_seed=self.cfg.SEED,
         )
-        index.build(embs, item_ids)
+        # learned popularity bias, scaled by the softmax temperature so the
+        # MIPS score q·e + T·b is monotone in the training logit cos/T + b
+        bias = self.cfg.SOFTMAX_TEMPERATURE * model.item_bias_np(item_ids)
+        if not np.any(bias):
+            bias = None  # bias-free checkpoint (pairwise/in-batch modes)
+        index.build(embs, item_ids, bias=bias)
         index.save(self.index_output_path)
         return index

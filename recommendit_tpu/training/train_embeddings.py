@@ -125,6 +125,7 @@ class EmbeddingTrainer:
                 return in_batch_softmax_loss(
                     ue, ie, jnp.take(log_q_table, i_ids),
                     cfg.SOFTMAX_TEMPERATURE,
+                    item_bias=jnp.take(params["item_bias"], i_ids),
                 )
             if use_pallas:
                 return in_batch_bpr_pallas(ue, ie)

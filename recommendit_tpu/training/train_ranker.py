@@ -131,11 +131,19 @@ class RankerTrainer:
         genre_table = build_genre_table(self.data.movies, model.n_items)
         item_ids = np.arange(1, model.n_items + 1, dtype=np.int64)
         item_embs = model.get_item_embeddings(item_ids, genre_table[1:])
+        # fold the learned popularity bias into an augmented column so the
+        # plain dot products below score exactly like the serving MIPS index
+        # ([emb, T·b] · [user, 1] = cos + T·b)
+        bias = self.cfg.SOFTMAX_TEMPERATURE * model.item_bias_np(item_ids)
+        item_embs = np.concatenate([item_embs, bias[:, None]], axis=1)
         import jax.numpy as jnp
 
         all_uids = np.arange(0, model.n_users + 1, dtype=np.int64)
         user_embs = np.asarray(
             model._jit_user(model.params, jnp.asarray(all_uids))
+        )
+        user_embs = np.concatenate(
+            [user_embs, np.ones((len(user_embs), 1), user_embs.dtype)], axis=1
         )
         self._tower_cache = (model, user_embs, item_embs)
         return self._tower_cache
