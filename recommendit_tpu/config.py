@@ -102,6 +102,20 @@ class Settings:
     # 0.5/300 is the synthetic-benchmark sweet spot: full-pipeline NDCG@10
     # 0.112 -> 0.134 and MRR 0.202 -> 0.245 vs uniform-only negatives
     # (frac=1.0 hurts: all-hard loses easy-negative calibration).
+    # How the re-ranker's training set is built:
+    #   candidates — the serving distribution: an inner temporal split
+    #     trains a second tower on the history slice, retrieves the same
+    #     top-K candidate lists serving produces, labels them with the
+    #     held-out slice (production log-training, reconstructed offline);
+    #   pairs — the reference's scheme (positives + uniform unrated
+    #     negatives, feature_engineering.py:225-300), kept for parity.
+    RANKER_TRAINING_MODE: str = "candidates"
+    # label window within the ranker's data view (candidates mode)
+    RANKER_LABEL_FRACTION: float = 0.1
+    # negatives kept per query in candidates mode: half from the head of
+    # the retrieval order (where ranking errors cost NDCG), half sampled
+    # uniformly from the tail (score calibration)
+    RANKER_CAND_NEGS: int = 200
     RANKER_HARD_NEG_FRAC: float = 0.5
     RANKER_HARD_NEG_POOL: int = 300      # tower top-K pool to mine from
     # Feed the two-tower similarity to the ranker as a 51st feature (the

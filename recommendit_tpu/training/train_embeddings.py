@@ -214,12 +214,33 @@ class EmbeddingTrainer:
             jax.random.PRNGKey(cfg.SEED), self.n_users, self.n_items,
             cfg.EMBEDDING_DIM, cfg.HIDDEN_DIM,
         )
+        if self.loss_mode == "softmax":
+            # Warm-start the per-item score bias at the empirical
+            # log-popularity (the logQ table itself). The bias's MLE target
+            # under the corrected softmax IS the user-independent part of
+            # log p(i|u) ≈ log-popularity, but SGD reaches it at a rate
+            # proportional to each item's sampling frequency — rare items
+            # stay near zero for the whole cosine-LR schedule (measured:
+            # trained-from-zero bias plateaued at ~0.2 sd vs the ~1.0 sd
+            # optimum). Training then only refines quality deviations.
+            log_q = self._log_q_table()
+            seen = np.bincount(self.pos_items, minlength=self.n_items + 1) > 0
+            floor = log_q[seen].min() if seen.any() else 0.0
+            b0 = np.where(seen, log_q, floor)
+            b0 = b0 - b0[1:].mean()  # center (row 0 is padding)
+            b0[0] = 0.0
+            params["item_bias"] = jnp.asarray(b0, jnp.float32)
         schedule = optax.cosine_decay_schedule(
             cfg.LEARNING_RATE, decay_steps=max(1, epochs * n_batches)
         )
+        # no weight decay on the bias: decay pulls it toward 0, which is a
+        # popularity-bias regression, not regularization (it is 1 scalar
+        # per item — the capacity weight decay exists to control is absent)
+        wd_mask = {k: k != "item_bias" for k in params}
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.GRAD_CLIP_NORM),
-            optax.adamw(schedule, weight_decay=cfg.WEIGHT_DECAY),
+            optax.adamw(schedule, weight_decay=cfg.WEIGHT_DECAY,
+                        mask=wd_mask),
         )
         opt_state = tx.init(params)
 
