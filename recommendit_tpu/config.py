@@ -162,6 +162,15 @@ class Settings:
     MICRO_BATCH_MAX: int = 256
     MICRO_BATCH_WAIT_MS: float = 2.0
 
+    # --- Host-resident (>HBM) embedding tables (no reference equivalent;
+    # DLRM-style CPU offload — training/host_train.py) ---
+    HOST_TABLE: bool = False             # offload embedding tables to host RAM
+    HOST_TABLE_OPTIMIZER: str = "adagrad"  # adagrad | sgd (sparse row updates)
+    HOST_TABLE_LR: float = 0.05
+    HOST_TABLE_DIR: str = ""             # non-empty: disk-memmapped tables
+    HOST_TABLE_PREFETCH: int = 2         # gather/H2D double-buffer depth
+    # (0 = fully synchronous updates)
+
     # --- TPU-native knobs (no reference equivalent) ---
     MESH_DATA_AXIS: str = "data"
     MESH_MODEL_AXIS: str = "model"

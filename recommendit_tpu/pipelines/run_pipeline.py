@@ -156,9 +156,22 @@ class PipelineOrchestrator:
         """Train embeddings; auto-resumes from the last train-state
         checkpoint when one exists (elastic recovery — a pre-empted or
         crashed run continues instead of restarting, SURVEY.md §5.3/§5.4)."""
+        data = self._train_view()
+        if self.cfg.HOST_TABLE:
+            # >HBM-scale path: embedding tables live in host RAM/memmap,
+            # only batch rows ship to the device (training/host_train.py)
+            from recommendit_tpu.training.host_train import (
+                HostTableEmbeddingTrainer,
+            )
+
+            trainer = HostTableEmbeddingTrainer(
+                data, self.cfg,
+                model_output_path=self.cfg.EMBEDDING_MODEL_PATH,
+            )
+            trainer.train()
+            return trainer.history
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
 
-        data = self._train_view()
         ckpt_dir = self.models_dir / "two_tower_ckpt"
         trainer = EmbeddingTrainer(
             data, self.cfg,

@@ -72,17 +72,16 @@ class HostEmbeddingTable:
                 str(p), mode="w+", dtype=np.float32,
                 shape=(self.n_rows, self.dim),
             )
-            # chunked init keeps peak RAM bounded for huge tables
-            chunk = max(1, min(self.n_rows, 1 << 20))
-            for s in range(0, self.n_rows, chunk):
-                e = min(self.n_rows, s + chunk)
-                self.table[s:e] = init_scale * rng.standard_normal(
-                    (e - s, self.dim)
-                ).astype(np.float32)
         else:
-            self.table = (
-                init_scale * rng.standard_normal((self.n_rows, self.dim))
-            ).astype(np.float32)
+            self.table = np.empty((self.n_rows, self.dim), np.float32)
+        # chunked f32 init: no f64 intermediate, peak extra RAM bounded —
+        # a 100M x 128 table would otherwise allocate a 102 GB f64 temp
+        chunk = max(1, min(self.n_rows, 1 << 20))
+        for s in range(0, self.n_rows, chunk):
+            e = min(self.n_rows, s + chunk)
+            rng.standard_normal((e - s, self.dim), dtype=np.float32,
+                                out=self.table[s:e])
+            self.table[s:e] *= init_scale
         # adagrad accumulator: one scalar per row (row-wise variant — the
         # memory-frugal form used for embedding tables)
         self._accum = (
@@ -184,23 +183,48 @@ def prefetch_to_device(source: Iterable, depth: int = 2, device=None):
 
 def make_host_offload_step(
     loss_from_rows: Callable,
+    tx=None,
 ) -> Callable:
     """Build the device half of a host-table training step.
 
     ``loss_from_rows(dense_params, row_inputs, batch) -> loss`` where
-    ``row_inputs`` is a pytree of (B, D) gathered-row arrays. Returns a
-    jitted ``step(dense_params, row_inputs, batch) -> (loss, row_grads,
-    dense_grads)`` — the caller applies ``dense_grads`` with its optax
-    optimizer and routes ``row_grads`` to ``HostEmbeddingTable.apply_grad``.
-    """
+    ``row_inputs`` is a pytree of (B, D) gathered-row arrays.
 
-    def step(dense_params, row_inputs, batch):
+    Without ``tx``: returns a jitted ``step(dense_params, row_inputs,
+    batch) -> (loss, row_grads, dense_grads)`` — the caller applies
+    ``dense_grads`` with its own optimizer and routes ``row_grads`` to
+    :meth:`HostEmbeddingTable.apply_grad`.
+
+    With an optax ``tx``: the dense update is fused into the same XLA
+    program (one dispatch per step — the dispatch RTT dominates the tiny
+    row-matrix program on a tunneled chip) and the step becomes
+    ``step(dense_params, opt_state, row_inputs, batch) ->
+    (dense_params, opt_state, loss, row_grads)``.
+    """
+    if tx is None:
+
+        def step(dense_params, row_inputs, batch):
+            def f(dp, rows):
+                return loss_from_rows(dp, rows, batch)
+
+            loss, (dense_g, row_g) = jax.value_and_grad(f, argnums=(0, 1))(
+                dense_params, row_inputs
+            )
+            return loss, row_g, dense_g
+
+        return jax.jit(step)
+
+    import optax
+
+    def fused_step(dense_params, opt_state, row_inputs, batch):
         def f(dp, rows):
             return loss_from_rows(dp, rows, batch)
 
         loss, (dense_g, row_g) = jax.value_and_grad(f, argnums=(0, 1))(
             dense_params, row_inputs
         )
-        return loss, row_g, dense_g
+        updates, opt_state = tx.update(dense_g, opt_state, dense_params)
+        dense_params = optax.apply_updates(dense_params, updates)
+        return dense_params, opt_state, loss, row_g
 
-    return jax.jit(step)
+    return jax.jit(fused_step, donate_argnums=(0, 1))

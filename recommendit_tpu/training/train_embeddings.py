@@ -60,6 +60,27 @@ def build_genre_table(movies_df, n_items: int) -> np.ndarray:
     return table
 
 
+def warm_start_item_bias(pos_items: np.ndarray, n_items: int) -> np.ndarray:
+    """(n_items+1,) initial per-item score bias = centered empirical
+    log-popularity.
+
+    The bias's MLE target under the logQ-corrected softmax IS the
+    user-independent part of log p(i|u) ≈ log-popularity, but SGD reaches
+    it at a rate proportional to each item's sampling frequency — rare
+    items stay near zero for the whole cosine-LR schedule (measured:
+    trained-from-zero bias plateaued at ~0.2 sd vs the ~1.0 sd optimum).
+    Warm-starting lets training only refine quality deviations."""
+    counts = np.bincount(pos_items, minlength=n_items + 1)
+    p = counts / max(1, counts.sum())
+    log_q = np.log(np.maximum(p, 1e-12)).astype(np.float32)
+    seen = counts > 0
+    floor = log_q[seen].min() if seen.any() else 0.0
+    b0 = np.where(seen, log_q, floor)
+    b0 = b0 - b0[1:].mean()  # center (row 0 is padding)
+    b0[0] = 0.0
+    return b0.astype(np.float32)
+
+
 class EmbeddingTrainer:
     """Trains the two-tower model on (user, positive-item) interactions."""
 
@@ -215,21 +236,9 @@ class EmbeddingTrainer:
             cfg.EMBEDDING_DIM, cfg.HIDDEN_DIM,
         )
         if self.loss_mode == "softmax":
-            # Warm-start the per-item score bias at the empirical
-            # log-popularity (the logQ table itself). The bias's MLE target
-            # under the corrected softmax IS the user-independent part of
-            # log p(i|u) ≈ log-popularity, but SGD reaches it at a rate
-            # proportional to each item's sampling frequency — rare items
-            # stay near zero for the whole cosine-LR schedule (measured:
-            # trained-from-zero bias plateaued at ~0.2 sd vs the ~1.0 sd
-            # optimum). Training then only refines quality deviations.
-            log_q = self._log_q_table()
-            seen = np.bincount(self.pos_items, minlength=self.n_items + 1) > 0
-            floor = log_q[seen].min() if seen.any() else 0.0
-            b0 = np.where(seen, log_q, floor)
-            b0 = b0 - b0[1:].mean()  # center (row 0 is padding)
-            b0[0] = 0.0
-            params["item_bias"] = jnp.asarray(b0, jnp.float32)
+            params["item_bias"] = jnp.asarray(
+                warm_start_item_bias(self.pos_items, self.n_items)
+            )
         schedule = optax.cosine_decay_schedule(
             cfg.LEARNING_RATE, decay_steps=max(1, epochs * n_batches)
         )
