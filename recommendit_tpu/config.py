@@ -112,6 +112,10 @@ class Settings:
     RANKER_TRAINING_MODE: str = "candidates"
     # label window within the ranker's data view (candidates mode)
     RANKER_LABEL_FRACTION: float = 0.1
+    # cap on candidate-mode training queries (users are subsampled past
+    # this — keeps the feature frame bounded at ML-25M-scale row counts;
+    # ~6k users at ML-1M scale, so a no-op there)
+    RANKER_MAX_QUERIES: int = 20_000
     # negatives kept per query in candidates mode: half from the head of
     # the retrieval order (where ranking errors cost NDCG), half sampled
     # uniformly from the tail (score calibration)
@@ -131,6 +135,12 @@ class Settings:
 
     # --- Skew detection (reference :30) ---
     SKEW_KL_THRESHOLD: float = 0.1
+
+    # --- Synthetic dataset shape (pipeline --synthetic; no reference
+    # equivalent — the reference requires the real download) ---
+    SYNTH_USERS: int = 1500
+    SYNTH_ITEMS: int = 1200
+    SYNTH_RATINGS: int = 150_000
 
     # --- Criteo-style CTR config (BASELINE config #5; no reference
     # equivalent — green-field model family) ---

@@ -80,8 +80,9 @@ class PipelineOrchestrator:
         if self._data is None:
             if self.synthetic and not verify_dataset(Path(self.data_dir)):
                 data = make_synthetic_movielens(
-                    n_users=1500, n_items=1200, n_ratings=150_000,
-                    seed=self.cfg.SEED,
+                    n_users=self.cfg.SYNTH_USERS,
+                    n_items=self.cfg.SYNTH_ITEMS,
+                    n_ratings=self.cfg.SYNTH_RATINGS, seed=self.cfg.SEED,
                 )
                 save_movielens(data, self.data_dir)
             self._data = load_or_synthesize(self.data_dir, seed=self.cfg.SEED)
@@ -118,8 +119,9 @@ class PipelineOrchestrator:
     def run_data(self):
         if self.synthetic:
             data = make_synthetic_movielens(
-                    n_users=1500, n_items=1200, n_ratings=150_000,
-                    seed=self.cfg.SEED,
+                    n_users=self.cfg.SYNTH_USERS,
+                    n_items=self.cfg.SYNTH_ITEMS,
+                    n_ratings=self.cfg.SYNTH_RATINGS, seed=self.cfg.SEED,
                 )
             save_movielens(data, self.data_dir)
             self._data = data

@@ -218,9 +218,22 @@ class RankerTrainer:
                 "positives — dataset too small for "
                 f"RANKER_LABEL_FRACTION={cfg.RANKER_LABEL_FRACTION}"
             )
+        if len(users) > cfg.RANKER_MAX_QUERIES:
+            users = sorted(
+                rng.choice(np.asarray(users), size=cfg.RANKER_MAX_QUERIES,
+                           replace=False).tolist()
+            )
+            logger.info(
+                "Candidate ranker training: subsampled to %d queries "
+                "(RANKER_MAX_QUERIES)", len(users),
+            )
 
         k = min(cfg.TOP_K_CANDIDATES, index.n_total)
-        q = np.stack([model.get_user_embedding(u) for u in users])
+        import jax.numpy as jnp
+
+        q = np.asarray(model._jit_user(
+            model.params, jnp.asarray(np.asarray(users, np.int64))
+        ), dtype=np.float32)
         vals, ids = index.batch_search(q, k=k)
 
         n_top = cfg.RANKER_CAND_NEGS // 2
