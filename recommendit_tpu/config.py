@@ -76,10 +76,12 @@ class Settings:
     LOSS_MODE: str = "softmax"   # softmax (logQ-corrected) | in_batch | pairwise
     SOFTMAX_TEMPERATURE: float = 0.05
     # 'epoch': the whole epoch is one jitted lax.scan (fastest; default).
-    # 'step': jit per batch — workaround for remote-compile toolchains that
-    # hang on the epoch-scan program (ROADMAP §3); ~same math, more
-    # dispatch overhead.
+    # 'chunk': one jitted lax.scan over TRAIN_CHUNK_BATCHES batches —
+    # amortizes dispatch ~N x without the epoch-sized XLA program that
+    # hangs fragile remote-compile toolchains (the middle ground).
+    # 'step': jit per batch — maximum-dispatch fallback; ~same math.
     TRAIN_JIT_SCOPE: str = "epoch"
+    TRAIN_CHUNK_BATCHES: int = 32
 
     # --- Ranker (replaces LightGBM knobs, reference :27-29) ---
     RANKER_TYPE: str = "mlp"             # mlp (LambdaRank MLP) | gbdt (hist GBDT)

@@ -33,6 +33,8 @@ full two-stage 0.143 NDCG@10, ``/root/reference/README.md:36-38``):
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import pandas as pd
 
@@ -45,21 +47,54 @@ _AGES = np.array([1, 18, 25, 35, 45, 50, 56])
 # ratings 1..5. Relevance = rating >= 4 covers ~57.5% of interactions.
 _ML1M_RATING_DIST = np.array([0.0561, 0.1075, 0.2611, 0.3489, 0.2264])
 
-# Rating-model weights (z-scored components; tuned so the benchmark
-# reproduces the reference's popularity < retrieval-only < full ladder).
-_W_LATENT = 0.65     # bilinear user x item taste (tower-learnable)
-_W_GENRE = 0.75      # taste . genre match (both stages can learn)
-_W_QUALITY = 0.90    # per-item intrinsic quality (ranker: item_avg_rating)
-_W_LOYALTY = 0.80    # nonlinear bonus when genre match is strong
-_LOYALTY_TAU = 0.85  # threshold on the z-scored genre match
-_W_USER_BIAS = 0.40  # rating-level shift (does not reorder within a user)
-_W_NOISE = 0.70
-_EXPOSURE_GAMMA = 0.6    # how strongly users' histories tilt toward taste
-_EXPOSURE_QUALITY = 0.9  # how strongly exposure tilts toward good items
-# (on real platforms what users watch correlates with quality — word of
-# mouth, charts; this is what makes item_avg_rating a genuinely predictive
-# ranking feature on ML-1M, where the reference's LambdaMART earns +61%
-# NDCG@10 over retrieval-only)
+
+@dataclasses.dataclass(frozen=True)
+class SynthWeights:
+    """Rating-model weights (z-scored components).
+
+    Defaults are tuned (scripts/ladder_sweep.py, round 3) so the benchmark
+    reproduces BOTH reference ladder margins at once (README.md:36-38:
+    retrieval-only 2.2x popularity, full +61% over retrieval-only):
+    a strong bilinear+genre term the tower can learn, an item-quality +
+    nonlinear-loyalty term only the feature-based re-ranker can fully
+    exploit, and exposure only weakly tied to quality so the popularity
+    baseline stays a baseline.
+    """
+
+    latent: float = 0.65     # bilinear user x item taste (tower-learnable)
+    genre: float = 0.75      # taste . genre match (both stages can learn)
+    quality: float = 0.90    # per-item intrinsic quality (ranker: item_avg_rating)
+    loyalty: float = 0.80    # nonlinear bonus when genre match is strong
+    loyalty_tau: float = 0.85  # threshold on the z-scored genre match
+    user_bias: float = 0.40  # rating-level shift (does not reorder within a user)
+    noise: float = 0.70
+    exposure_gamma: float = 0.6    # how strongly histories tilt toward
+    # genre taste (what users CHOOSE to watch; the tower's main signal —
+    # test positives require exposure, so a taste-blind exposure process
+    # caps every personalized method at the popularity ceiling)
+    exposure_latent: float = 0.0   # idiosyncratic (bilinear) taste tilt in
+    # exposure — signal only the per-user tower embedding can capture
+    exposure_quality: float = 0.9  # how strongly exposure tilts toward good
+    # items (on real platforms what users watch correlates with quality —
+    # word of mouth, charts; this also makes the raw popularity baseline
+    # stronger, so it is the main popularity-vs-retrieval margin knob)
+
+    def replace(self, **kw) -> "SynthWeights":
+        return dataclasses.replace(self, **kw)
+
+
+# Module-level defaults (kept as constants for backward compatibility with
+# diagnostics that reconstruct the generative score).
+_DEFAULT_WEIGHTS = SynthWeights()
+_W_LATENT = _DEFAULT_WEIGHTS.latent
+_W_GENRE = _DEFAULT_WEIGHTS.genre
+_W_QUALITY = _DEFAULT_WEIGHTS.quality
+_W_LOYALTY = _DEFAULT_WEIGHTS.loyalty
+_LOYALTY_TAU = _DEFAULT_WEIGHTS.loyalty_tau
+_W_USER_BIAS = _DEFAULT_WEIGHTS.user_bias
+_W_NOISE = _DEFAULT_WEIGHTS.noise
+_EXPOSURE_GAMMA = _DEFAULT_WEIGHTS.exposure_gamma
+_EXPOSURE_QUALITY = _DEFAULT_WEIGHTS.exposure_quality
 
 
 def make_synthetic_movielens(
@@ -69,6 +104,7 @@ def make_synthetic_movielens(
     seed: int = 0,
     latent_dim: int = 8,
     return_latents: bool = False,
+    weights: "SynthWeights | dict | None" = None,
 ):
     """Build a MovieLensData with the reference's column contract.
 
@@ -76,8 +112,20 @@ def make_synthetic_movielens(
     (tastes, latents, quality, popularity, rating edges) so oracle-ceiling
     diagnostics can measure how much signal a ranker could possibly
     extract (used by ``scripts/ranker_headroom.py``).
+
+    ``weights`` overrides the rating-model component weights (a
+    :class:`SynthWeights` or a dict of its field overrides) — used by
+    ``scripts/ladder_sweep.py`` to calibrate the benchmark's two-stage
+    signal mix.
     """
     from recommendit_tpu.data.movielens import MovieLensData
+
+    if weights is None:
+        w = _DEFAULT_WEIGHTS
+    elif isinstance(weights, dict):
+        w = _DEFAULT_WEIGHTS.replace(**weights)
+    else:
+        w = weights
 
     rng = np.random.default_rng(seed)
     n_genres = len(GENRES)
@@ -166,9 +214,11 @@ def make_synthetic_movielens(
         u_idx = rng.choice(n_users, size=m, p=activity)
         i_idx = rng.choice(n_items, size=m, p=p_item)
         match = np.einsum("ng,ng->n", taste[u_idx], item_genre_unit[i_idx])
+        lmatch = np.einsum("nd,nd->n", user_latent[u_idx], item_latent[i_idx])
         tilt = (
-            _EXPOSURE_GAMMA * match / (np.std(match) + 1e-9)
-            + _EXPOSURE_QUALITY * item_quality[i_idx]
+            w.exposure_gamma * match / (np.std(match) + 1e-9)
+            + w.exposure_latent * lmatch / (np.std(lmatch) + 1e-9)
+            + w.exposure_quality * item_quality[i_idx]
         )
         accept = rng.random(m) < 1.0 / (1.0 + np.exp(-tilt))
         u_parts.append(u_idx[accept])
@@ -191,12 +241,12 @@ def make_synthetic_movielens(
     latent_term = _z(np.einsum("nd,nd->n", user_latent[u_idx], item_latent[i_idx]))
     genre_term = _z(np.einsum("ng,ng->n", taste[u_idx], item_genre_unit[i_idx]))
     score = (
-        _W_LATENT * latent_term
-        + _W_GENRE * genre_term
-        + _W_QUALITY * item_quality[i_idx]
-        + _W_LOYALTY * (genre_term > _LOYALTY_TAU)
-        + _W_USER_BIAS * user_bias[u_idx]
-        + _W_NOISE * rng.normal(size=u_idx.size)
+        w.latent * latent_term
+        + w.genre * genre_term
+        + w.quality * item_quality[i_idx]
+        + w.loyalty * (genre_term > w.loyalty_tau)
+        + w.user_bias * user_bias[u_idx]
+        + w.noise * rng.normal(size=u_idx.size)
     )
 
     # --- Quantile-map scores onto the ML-1M rating marginal ---
@@ -218,6 +268,7 @@ def make_synthetic_movielens(
     data = MovieLensData(ratings=ratings, users=users, movies=movies)
     if return_latents:
         latents = {
+            "weights": w,
             "taste": taste,
             "user_latent": user_latent,
             "user_bias": user_bias,

@@ -172,6 +172,14 @@ class MIPSIndex:
 
             return mips_topk_int8(queries, self._embs, self._scales, k,
                                   self.block_size, self.mode)
+        if self.mode == "verified":
+            # certified-exact: verified two-pass fast path, lax.cond
+            # escalation to the windowed exact path on certificate failure
+            # — recall 1.0 always, near-approx speed in the common case
+            from recommendit_tpu.ops.topk import mips_topk_certified
+
+            return mips_topk_certified(queries, self._embs, k,
+                                       self.block_size)
         if self.mode == "fused":
             import jax
 
@@ -194,6 +202,10 @@ class MIPSIndex:
 
             return lambda q: mips_topk_int8(aug(q), embs, scales, k, block,
                                             mode)
+        if mode == "verified":
+            from recommendit_tpu.ops.topk import mips_topk_certified
+
+            return lambda q: mips_topk_certified(aug(q), embs, k, block)
         if mode == "fused":
             import jax
 
@@ -292,6 +304,7 @@ class MIPSIndex:
             "has_bias": self.has_bias,
             # int8 ranking error is bounded by the quantization step;
             # measured recall@500 >= 0.99 on normalized tower embeddings
-            "recall": 1.0 if self.mode == "exact" and self.dtype != "int8"
+            "recall": 1.0
+            if self.mode in ("exact", "verified") and self.dtype != "int8"
             else None,
         }

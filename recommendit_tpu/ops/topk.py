@@ -22,10 +22,13 @@ The distributed (sharded-corpus) variant lives in
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 # Exact modes score with true-f32 MXU matmuls (multi-pass bf16): the TPU's
 # default matmul precision is bfloat16-grade, whose score noise reorders
@@ -153,7 +156,18 @@ def _windowed_exact_topk(scores, k: int):
     L = _WINDOW
     wpad = max(512, (-(-(k + 1) // 128)) * 128)
     n_win = -(-w // L)
-    if n_win <= wpad:           # pruning wouldn't drop anything
+    if n_win <= 4 * wpad:
+        # pruning is degenerate: the gathered slab would be >= 1/4 of the
+        # full row, so the window-max pass + gather cost more than they
+        # save — go straight to the chunked exact reduce. (Logged so a
+        # caller pushing k toward n/256 sees the perf envelope it's in;
+        # shapes are static under jit, so this fires at trace time only.)
+        if n_win > wpad:
+            logger.info(
+                "windowed exact top-k: k=%d keeps %d of %d windows — "
+                "pruning degenerate, using chunked exact reduce", k, wpad,
+                n_win,
+            )
         return _chunked_exact_reduce(scores, k)
     pad = n_win * L - w
     if pad:
@@ -320,6 +334,45 @@ def mips_topk_verified(
     certificate for callers that want to escalate themselves)."""
     return _verified_topk(queries, item_embs, k, block_size, oversample,
                           recall_target)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mips_topk_certified(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_size: int = 4096,
+    oversample: int = 4,
+    recall_target: float = 0.95,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Certified-exact top-k: verified two-pass fast path with automatic
+    escalation.
+
+    Runs :func:`_verified_topk` (recall-targeted prefilter + count-above
+    exactness certificate — two streaming passes, both at PartialReduce
+    speed) and, only when ANY query's certificate fails, recomputes the
+    whole batch through the windowed exact path. The escalation is a
+    ``lax.cond`` inside one jitted program, so the common case pays zero
+    host round-trips and the result is ALWAYS value-exact — the same
+    recall-1.0 contract as ``mode='exact'`` at near-approx speed
+    (replaces the reference's lossy IVF pruning,
+    ``src/models/faiss_index.py:68-74,113``).
+
+    Note: ties at the k-th score may order differently than the windowed
+    path; *values* are certified exact (see :func:`certify_topk`).
+    """
+    vals, idx, exact = _verified_topk(
+        queries, item_embs, k, block_size, oversample, recall_target
+    )
+
+    def _keep(_):
+        return vals, idx
+
+    def _escalate(_):
+        ev, ei = _exact_topk(queries, item_embs, k)
+        return ev, ei.astype(idx.dtype)
+
+    return jax.lax.cond(jnp.all(exact), _keep, _escalate, operand=None)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -170,7 +170,12 @@ class PipelineOrchestrator:
                 data, self.cfg,
                 model_output_path=self.cfg.EMBEDDING_MODEL_PATH,
             )
-            trainer.train()
+            model = trainer.train()
+            if model is None:
+                # true >HBM scale: no in-HBM model artifact exists — keep
+                # the trainer so run_index can stream the catalog through
+                # embed_catalog instead of loading EMBEDDING_MODEL_PATH
+                self._host_trainer = trainer
             return trainer.history
         from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
 
@@ -192,11 +197,22 @@ class PipelineOrchestrator:
         from recommendit_tpu.training.build_index import IndexBuilder
 
         data = self._train_view()
-        IndexBuilder(
+        builder = IndexBuilder(
             data, self.cfg,
             model_path=self.cfg.EMBEDDING_MODEL_PATH,
             index_output_path=self.cfg.INDEX_PATH,
-        ).build()
+        )
+        ht = getattr(self, "_host_trainer", None)
+        if ht is not None:
+            # >HBM host-table run: stream the catalog through the device
+            # MLP head chunk-by-chunk; the table never goes on device
+            bias = ht._dense.get("item_bias")
+            builder.build(
+                embeddings=ht.embed_catalog(),
+                bias=np.asarray(bias)[1:] if bias is not None else None,
+            )
+            return
+        builder.build()
 
     def run_ranker(self):
         from recommendit_tpu.training.train_ranker import RankerTrainer

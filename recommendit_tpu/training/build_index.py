@@ -35,14 +35,39 @@ class IndexBuilder:
         self.model_path = model_path or self.cfg.EMBEDDING_MODEL_PATH
         self.index_output_path = index_output_path or self.cfg.INDEX_PATH
 
-    def build(self, model: Optional[TwoTowerModel] = None) -> MIPSIndex:
-        if model is None:
-            model = TwoTowerModel.load(self.model_path)
+    def build(
+        self,
+        model: Optional[TwoTowerModel] = None,
+        embeddings: Optional[np.ndarray] = None,
+        bias: Optional[np.ndarray] = None,
+    ) -> MIPSIndex:
+        """Build + save the index.
 
-        n_items = model.n_items
-        genre_table = build_genre_table(self.data.movies, n_items)
-        item_ids = np.arange(1, n_items + 1, dtype=np.int64)
-        embs = model.get_item_embeddings(item_ids, genre_table[1:], batch_size=8192)
+        Either from a :class:`TwoTowerModel` (loaded from ``model_path``
+        when not given), or — for >HBM host-table runs where no in-HBM
+        model exists — from pre-streamed catalog ``embeddings`` (1-based
+        item order, see ``HostTableEmbeddingTrainer.embed_catalog``) and an
+        optional raw (n_items,) ``bias`` (pre-temperature-scaling).
+        """
+        if embeddings is None:
+            if model is None:
+                model = TwoTowerModel.load(self.model_path)
+            n_items = model.n_items
+            genre_table = build_genre_table(self.data.movies, n_items)
+            item_ids = np.arange(1, n_items + 1, dtype=np.int64)
+            embs = model.get_item_embeddings(
+                item_ids, genre_table[1:], batch_size=8192
+            )
+            embed_dim = model.embed_dim
+            raw_bias = model.item_bias_np(item_ids)
+        else:
+            embs = np.asarray(embeddings, np.float32)
+            item_ids = np.arange(1, len(embs) + 1, dtype=np.int64)
+            embed_dim = embs.shape[1]
+            raw_bias = (
+                np.asarray(bias, np.float32) if bias is not None
+                else np.zeros(len(embs), np.float32)
+            )
 
         norms = np.linalg.norm(embs, axis=1)
         logger.info(
@@ -51,16 +76,16 @@ class IndexBuilder:
         )
 
         index = MIPSIndex(
-            embedding_dim=model.embed_dim,
+            embedding_dim=embed_dim,
             block_size=self.cfg.RETRIEVAL_BLOCK_ITEMS,
             dtype=self.cfg.INDEX_DTYPE,
             quant_seed=self.cfg.SEED,
         )
         # learned popularity bias, scaled by the softmax temperature so the
         # MIPS score q·e + T·b is monotone in the training logit cos/T + b
-        bias = self.cfg.SOFTMAX_TEMPERATURE * model.item_bias_np(item_ids)
-        if not np.any(bias):
-            bias = None  # bias-free checkpoint (pairwise/in-batch modes)
-        index.build(embs, item_ids, bias=bias)
+        scaled = self.cfg.SOFTMAX_TEMPERATURE * raw_bias
+        if not np.any(scaled):
+            scaled = None  # bias-free checkpoint (pairwise/in-batch modes)
+        index.build(embs, item_ids, bias=scaled)
         index.save(self.index_output_path)
         return index

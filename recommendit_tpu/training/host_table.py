@@ -90,10 +90,17 @@ class HostEmbeddingTable:
             np.zeros((self.n_rows,), np.float32)
             if optimizer == "adagrad" else None
         )
+        # gather vs apply_grad can race when a PrefetchIterator thread
+        # gathers ahead of the consumer's updates; the lock guarantees a
+        # prefetched gather sees a CONSISTENT (possibly `depth`-stale) row
+        # version, never a torn half-written one. Uncontended cost is ~100ns
+        # per call — noise next to the row copies themselves.
+        self._lock = threading.Lock()
 
     def gather(self, ids: np.ndarray) -> np.ndarray:
         """(B,) ids -> (B, D) rows (a copy — safe to ship to device)."""
-        return np.ascontiguousarray(self.table[ids])
+        with self._lock:
+            return np.ascontiguousarray(self.table[ids])
 
     def apply_grad(self, ids: np.ndarray, grad: np.ndarray) -> None:
         """Sparse row update. Duplicate ids within the batch accumulate
@@ -104,12 +111,13 @@ class HostEmbeddingTable:
         uniq, inv = np.unique(ids, return_inverse=True)
         g = np.zeros((len(uniq), self.dim), np.float32)
         np.add.at(g, inv, grad)
-        if self.optimizer == "adagrad":
-            self._accum[uniq] += np.mean(g * g, axis=1)
-            scale = self.lr / (np.sqrt(self._accum[uniq]) + self.eps)
-            self.table[uniq] -= scale[:, None] * g
-        else:
-            self.table[uniq] -= self.lr * g
+        with self._lock:
+            if self.optimizer == "adagrad":
+                self._accum[uniq] += np.mean(g * g, axis=1)
+                scale = self.lr / (np.sqrt(self._accum[uniq]) + self.eps)
+                self.table[uniq] -= scale[:, None] * g
+            else:
+                self.table[uniq] -= self.lr * g
 
     # --- persistence ---------------------------------------------------- #
 

@@ -87,7 +87,12 @@ class HostTableEmbeddingTrainer:
         cfg = self.cfg
         self.data = data
         self.loss_mode = loss_mode or cfg.LOSS_MODE
-        self.model_output_path = model_output_path or cfg.EMBEDDING_MODEL_PATH
+        # None -> config default; '' -> saving explicitly disabled (a 100M-
+        # user model write is ~50 GB — callers must be able to opt out)
+        self.model_output_path = (
+            cfg.EMBEDDING_MODEL_PATH if model_output_path is None
+            else model_output_path
+        )
         self.history: List[Dict] = []
 
         self.n_users = data.n_users
@@ -151,12 +156,13 @@ class HostTableEmbeddingTrainer:
             cfg.EMBEDDING_DIM, cfg.HIDDEN_DIM,
         )
         del dense["user_embed"], dense["item_embed"]
+        # only the softmax loss reads the bias — other modes must not carry
+        # a dense (n_items+1,) param under AdamW (~1.2 GB of HBM for the
+        # param + two moments at a 100M-item config, all dead weight)
         if self.loss_mode == "softmax":
             dense["item_bias"] = jnp.asarray(
                 warm_start_item_bias(self.pos_items, self.n_items)
             )
-        else:
-            dense["item_bias"] = jnp.zeros((self.n_items + 1,), jnp.float32)
         return dense
 
     def _make_step(self, tx):
@@ -279,12 +285,22 @@ class HostTableEmbeddingTrainer:
                 self.user_table.apply_grad(
                     np.asarray(ids["u"]), np.asarray(row_g["u"])
                 )
-                self.item_table.apply_grad(
-                    np.asarray(ids["i"]), np.asarray(row_g["i"])
-                )
                 if "n" in row_g:
+                    # positive + negative item rows in ONE call: an item
+                    # appearing as both accumulates into a single
+                    # scatter-add, keeping apply_grad's once-per-unique-row
+                    # adagrad semantics
                     self.item_table.apply_grad(
-                        np.asarray(ids["n"]), np.asarray(row_g["n"])
+                        np.concatenate(
+                            [np.asarray(ids["i"]), np.asarray(ids["n"])]
+                        ),
+                        np.concatenate(
+                            [np.asarray(row_g["i"]), np.asarray(row_g["n"])]
+                        ),
+                    )
+                else:
+                    self.item_table.apply_grad(
+                        np.asarray(ids["i"]), np.asarray(row_g["i"])
                     )
                 losses.append(loss)
             loss = float(np.mean([float(x) for x in losses]))
@@ -328,6 +344,8 @@ class HostTableEmbeddingTrainer:
             )
             return None
         params = dict(self._dense)
+        if "item_bias" not in params:  # non-softmax runs train without one
+            params["item_bias"] = jnp.zeros((self.n_items + 1,), jnp.float32)
         params["user_embed"] = jnp.asarray(np.asarray(self.user_table.table))
         params["item_embed"] = jnp.asarray(np.asarray(self.item_table.table))
         model = TwoTowerModel(

@@ -95,7 +95,11 @@ class EmbeddingTrainer:
         self.cfg = cfg or default_settings
         self.data = data
         self.loss_mode = loss_mode or self.cfg.LOSS_MODE
-        self.model_output_path = model_output_path or self.cfg.EMBEDDING_MODEL_PATH
+        # None -> config default; '' -> saving explicitly disabled
+        self.model_output_path = (
+            self.cfg.EMBEDDING_MODEL_PATH if model_output_path is None
+            else model_output_path
+        )
         self.ckpt_dir = ckpt_dir
         self.history: List[Dict] = []
 
@@ -159,6 +163,36 @@ class EmbeddingTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
+
+        if self.cfg.TRAIN_JIT_SCOPE == "chunk":
+            # jitted scan over fixed-size batch chunks: one dispatch per
+            # CHUNK batches (amortizes the host/tunnel RTT) with an XLA
+            # program CHUNK/n_batches the size of the epoch scan. The
+            # remainder (< CHUNK batches) runs through the same program
+            # shape-family — at most 2 compiles per run.
+            chunk = max(1, self.cfg.TRAIN_CHUNK_BATCHES)
+
+            def scan_chunk(carry, batches):
+                return jax.lax.scan(step, carry, batches)
+
+            jit_chunk = jax.jit(scan_chunk, donate_argnums=(0,))
+
+            def epoch_fn(params, opt_state, batches, rng):
+                n = batches[0].shape[0]
+                carry = (params, opt_state, rng)
+                losses = []
+                for s in range(0, n, chunk):
+                    cb = jax.tree_util.tree_map(
+                        lambda x: x[s: s + chunk], batches
+                    )
+                    carry, ls = jit_chunk(carry, cb)
+                    losses.append(ls)
+                params, opt_state, rng = carry
+                return params, opt_state, rng, jnp.mean(
+                    jnp.concatenate(losses)
+                )
+
+            return epoch_fn
 
         if self.cfg.TRAIN_JIT_SCOPE == "step":
             # per-batch jit: a much smaller XLA program than the epoch

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--n-ratings", type=int, default=150_000)
     ap.add_argument("--eval-users", type=int, default=150)
     ap.add_argument("--candidates", type=int, default=500)
+    ap.add_argument("--weights", default=None,
+                    help="JSON dict of SynthWeights field overrides")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -49,9 +51,12 @@ def main():
     from recommendit_tpu.models.two_tower import TwoTowerModel
     from recommendit_tpu.training.train_embeddings import build_genre_table
 
+    import json as _json
+
     data, lat = syn.make_synthetic_movielens(
         n_users=args.n_users, n_items=args.n_items, n_ratings=args.n_ratings,
         seed=args.seed, return_latents=True,
+        weights=_json.loads(args.weights) if args.weights else None,
     )
     r = data.ratings.sort_values("timestamp")
     cut = int(len(r) * 0.9)
@@ -82,12 +87,15 @@ def main():
     # Exposure saturates: a pair sampled k>=1 times appears once (dedup),
     # so P(pair present) = 1 - exp(-M q) with q the one-draw acceptance
     # rate. Fit the effective draw count M so expected presents = len(r).
+    w = lat["weights"]
     taste_all, igu = lat["taste"], lat["item_genre_unit"]
     act, p_item = lat["activity"], lat["item_pop"] / lat["item_pop"].sum()
     match_all = taste_all @ igu.T                      # (U, I)
+    latent_all = lat["user_latent"] @ lat["item_latent"].T
     tilt_all = (
-        syn._EXPOSURE_GAMMA * match_all / (ss["match_sd_exposure"] + 1e-12)
-        + syn._EXPOSURE_QUALITY * lat["item_quality"][None, :]
+        w.exposure_gamma * match_all / (ss["match_sd_exposure"] + 1e-12)
+        + w.exposure_latent * latent_all / (ss["latent_sd"] + 1e-12)
+        + w.exposure_quality * lat["item_quality"][None, :]
     )
     q_all = act[:, None] * p_item[None, :] / (1.0 + np.exp(-tilt_all))
     lo_m, hi_m = 1.0, 1e9
@@ -125,13 +133,13 @@ def main():
             - ss["latent_mu"]
         ) / (ss["latent_sd"] + 1e-12)
         mu = (
-            syn._W_LATENT * latz
-            + syn._W_GENRE * gz
-            + syn._W_QUALITY * qual[cand0]
-            + syn._W_LOYALTY * (gz > syn._LOYALTY_TAU)
-            + syn._W_USER_BIAS * lat["user_bias"][u - 1]
+            w.latent * latz
+            + w.genre * gz
+            + w.quality * qual[cand0]
+            + w.loyalty * (gz > w.loyalty_tau)
+            + w.user_bias * lat["user_bias"][u - 1]
         )
-        p_rel = norm_sf((thresh4 - mu) / syn._W_NOISE)
+        p_rel = norm_sf((thresh4 - mu) / w.noise)
         p_exp = 1.0 - np.exp(-M_eff * q_all[u - 1, cand0])
 
         def topk(v, k=20):

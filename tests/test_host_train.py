@@ -214,3 +214,42 @@ class TestPipelineDispatch:
         hist = orch.run_stage("embeddings")
         assert len(hist) == 1
         assert (tmp_path / "models" / "two_tower.npz").exists()
+
+    def test_index_stage_streams_catalog_at_hbm_scale(self, tmp_path,
+                                                      monkeypatch):
+        """When the tables exceed the in-HBM budget (to_model() -> None),
+        the index stage must stream the catalog through embed_catalog
+        instead of loading a model artifact (which doesn't exist)."""
+        from recommendit_tpu.models.retrieval import MIPSIndex
+        from recommendit_tpu.pipelines.run_pipeline import (
+            PipelineOrchestrator,
+        )
+        from recommendit_tpu.training.host_train import (
+            HostTableEmbeddingTrainer,
+        )
+
+        # force the >HBM branch without an actual 200M-element table
+        monkeypatch.setattr(
+            HostTableEmbeddingTrainer, "to_model",
+            lambda self, max_elements=0: None,
+        )
+        cfg = Settings(
+            DATA_DIR=str(tmp_path / "nodata"), HOST_TABLE=True,
+            HOST_TABLE_PREFETCH=0, EMBEDDING_DIM=8, HIDDEN_DIM=12,
+            TRAIN_EPOCHS=1, BATCH_SIZE=32, LOSS_MODE="softmax",
+        )
+        orch = PipelineOrchestrator(cfg, synthetic=True,
+                                    models_dir=str(tmp_path / "models"))
+        orch.run_stage("embeddings")
+        assert not (tmp_path / "models" / "two_tower.npz").exists()
+        orch.run_stage("index")
+        idx = MIPSIndex.load(str(tmp_path / "models" / "mips.index.npz"))
+        assert idx.n_total == orch._host_trainer.n_items
+        # the persisted corpus is the streamed catalog (normalized)
+        streamed = orch._host_trainer.embed_catalog()
+        with np.load(tmp_path / "models" / "mips.index.npz") as z:
+            np.testing.assert_allclose(
+                z["embeddings"], streamed / np.linalg.norm(
+                    streamed, axis=1, keepdims=True), atol=1e-5,
+            )
+        assert idx.has_bias  # softmax run -> learned bias column carried

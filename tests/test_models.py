@@ -132,6 +132,20 @@ class TestMIPSIndex:
         scores, got = idx.search(embs[0], k=10_000)
         assert len(got) == 500
 
+    def test_verified_mode_matches_exact(self, built):
+        """mode='verified' (certified two-pass + escalation) must return
+        the same ids/scores as the exact scan — recall 1.0, by proof."""
+        idx, embs, ids = built
+        vidx = MIPSIndex(embedding_dim=32, block_size=128, mode="verified")
+        vidx.build(embs, ids)
+        assert vidx.stats()["recall"] == 1.0
+        qs = embs[:9] + 0.01 * np.random.default_rng(3).normal(
+            size=(9, 32)).astype(np.float32)
+        sv, iv = vidx.batch_search(qs, k=40)
+        se, ie = idx.batch_search(qs, k=40)
+        np.testing.assert_array_equal(iv, ie)
+        np.testing.assert_allclose(sv, se, rtol=1e-5)
+
     def test_batch_search(self, built):
         idx, embs, ids = built
         scores, got = idx.batch_search(embs[:7], k=5)
@@ -269,6 +283,32 @@ class TestEmbeddingTrainer:
         le = [h["loss"] for h in t_epoch.history]
         ls = [h["loss"] for h in t_step.history]
         np.testing.assert_allclose(le, ls, rtol=1e-4)
+
+    def test_chunk_jit_scope_matches_epoch_scan(self, synthetic_data,
+                                                tmp_path):
+        """TRAIN_JIT_SCOPE='chunk' (jitted scan over N-batch chunks — the
+        dispatch-amortizing middle ground) runs the same math as the epoch
+        lax.scan, including the non-divisible remainder chunk."""
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.training.train_embeddings import EmbeddingTrainer
+
+        base = dict(EMBEDDING_DIM=8, HIDDEN_DIM=16, BATCH_SIZE=128,
+                    TRAIN_EPOCHS=2, USE_PALLAS=False, SEED=0, DROPOUT=0.0)
+        t_epoch = EmbeddingTrainer(
+            synthetic_data, Settings(**base),
+            model_output_path=str(tmp_path / "e.npz"),
+        )
+        t_epoch.train()
+        # chunk=3 guarantees a remainder chunk unless n_batches % 3 == 0
+        t_chunk = EmbeddingTrainer(
+            synthetic_data,
+            Settings(TRAIN_JIT_SCOPE="chunk", TRAIN_CHUNK_BATCHES=3, **base),
+            model_output_path=str(tmp_path / "c.npz"),
+        )
+        t_chunk.train()
+        le = [h["loss"] for h in t_epoch.history]
+        lc = [h["loss"] for h in t_chunk.history]
+        np.testing.assert_allclose(le, lc, rtol=1e-4)
 
     def test_pairwise_mode(self, synthetic_data, tmp_path):
         from recommendit_tpu.config import Settings

@@ -293,3 +293,51 @@ class TestVerifiedTopK:
         # strictly-above count = 2 (the 5 and the 4)
         ok = certify_topk(cand_vals, jnp.asarray([2]), 3)
         assert np.asarray(ok).all()
+
+
+class TestCertifiedTopK:
+    """mips_topk_certified: verified fast path + lax.cond escalation —
+    always value-exact."""
+
+    def test_matches_numpy(self):
+        rng = np.random.default_rng(23)
+        q = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(5000, 16)), jnp.float32)
+        v, i = topk_mod.mips_topk_certified(q, items, 20)
+        vn, idxn = mips_topk_numpy(q, items, 20)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_escalation_recovers_exactness(self, monkeypatch):
+        """When the certificate fails, the cond must fall back to the
+        windowed exact path — inject a deliberately-wrong prefilter and
+        check the output is still the true top-k."""
+        rng = np.random.default_rng(29)
+        q = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(701, 8)), jnp.float32)
+        k = 7
+
+        real = topk_mod._verified_topk
+
+        def broken(queries, item_embs, kk, bs, oversample, recall_target):
+            v, i, _ = real(queries, item_embs, kk, bs, oversample,
+                           recall_target)
+            # garbage values + a failed certificate for every query
+            return v * 0 - 1.0, i * 0, jnp.zeros(v.shape[0], bool)
+
+        monkeypatch.setattr(topk_mod, "_verified_topk", broken)
+        v, i = topk_mod.mips_topk_certified(q, items, k)
+        vn, idxn = mips_topk_numpy(q, items, k)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_degenerate_pruning_guard_stays_exact(self):
+        """k large relative to the corpus: the windowed path must detect
+        degenerate pruning, fall through to the chunked reduce, and stay
+        exact."""
+        rng = np.random.default_rng(31)
+        s = jnp.asarray(rng.normal(size=(2, 100_000)), jnp.float32)
+        k = 300   # wpad=512 windows x 64 = 32k >= n/4 -> degenerate
+        v, i = jax.jit(lambda x: topk_mod._windowed_exact_topk(x, k))(s)
+        vn = -np.sort(-np.asarray(s), axis=1)[:, :k]
+        np.testing.assert_array_equal(np.asarray(v), vn)
