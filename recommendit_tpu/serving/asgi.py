@@ -59,8 +59,15 @@ def make_asgi_app(app: Optional[RecommendItApp] = None) -> Callable:
                 }, "application/json")
                 return
 
-        status, payload, ctype = state["app"].handle(
-            scope["method"], scope["path"], parsed
+        # the router core is synchronous (device calls, micro-batcher
+        # waits) — run it on the loop's executor so one slow request never
+        # stalls the event loop (the same contract uvicorn/Starlette give
+        # sync endpoints)
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        status, payload, ctype = await loop.run_in_executor(
+            None, state["app"].handle, scope["method"], scope["path"], parsed
         )
         await _respond(send, status, payload, ctype)
 

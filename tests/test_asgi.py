@@ -104,3 +104,109 @@ class TestASGI:
     def test_metrics_text(self, asgi):
         status, body = run_request(asgi, "GET", "/metrics")
         assert status == 200 and isinstance(body, str)
+
+
+class TestASGIServer:
+    """The asyncio HTTP/1.1 server hosting the ASGI app (the uvicorn-free
+    serving topology for air-gapped images)."""
+
+    @pytest.fixture
+    def server(self, asgi):
+        import socket
+        import threading
+        import time as _time
+
+        from recommendit_tpu.serving.asgi_server import ASGIServer
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        srv = ASGIServer(asgi, "127.0.0.1", port, workers=8)
+        t = threading.Thread(target=srv.run, daemon=True)
+        t.start()
+        # wait for the listener
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            try:
+                with socket.create_connection(("127.0.0.1", port), 0.2):
+                    break
+            except OSError:
+                _time.sleep(0.05)
+        yield f"http://127.0.0.1:{port}"
+
+    def test_health_and_recommend_over_http(self, server):
+        import json as _json
+        import urllib.request
+
+        with urllib.request.urlopen(f"{server}/health", timeout=10) as r:
+            assert r.status == 200
+            assert _json.loads(r.read())["status"] == "healthy"
+        req = urllib.request.Request(
+            f"{server}/recommend",
+            data=_json.dumps({"user_id": 1, "k": 3}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            body = _json.loads(r.read())
+            assert len(body["recommendations"]) == 3
+
+    def test_keep_alive_multiple_requests(self, server):
+        import http.client
+        import json as _json
+
+        host = server.split("//")[1]
+        conn = http.client.HTTPConnection(host, timeout=10)
+        for uid in (1, 2, 3):
+            conn.request(
+                "POST", "/recommend",
+                body=_json.dumps({"user_id": uid, "k": 2}),
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert _json.loads(resp.read())["user_id"] == uid
+        conn.close()
+
+    def test_validation_and_404_status(self, server):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{server}/recommend",
+            data=_json.dumps({"user_id": -5}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 422
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{server}/nope", timeout=10)
+        assert e.value.code == 404
+
+    def test_concurrent_clients(self, server):
+        import json as _json
+        import threading
+        import urllib.request
+
+        errs = []
+
+        def hit(uid):
+            try:
+                req = urllib.request.Request(
+                    f"{server}/recommend",
+                    data=_json.dumps({"user_id": uid, "k": 2}).encode(),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=15) as r:
+                    assert r.status == 200
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        ts = [threading.Thread(target=hit, args=(u + 1,)) for u in range(12)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
