@@ -109,6 +109,10 @@ def bench_retrieval(jnp, jax):
         "retrieval_batch256_ms": dt_iter * 1000,
         "retrieval_single_query_p50_ms": float(np.percentile(lat, 50)),
         "retrieval_single_query_p99_ms": float(np.percentile(lat, 99)),
+        # the min over 60 varied calls is the congestion-free floor — the
+        # p50/p99 rows include whatever tunnel RTT noise was live during
+        # the run (0.1-27 ms), the min is the device+dispatch budget
+        "retrieval_single_query_min_ms": float(np.min(lat)),
     }
 
 
@@ -138,9 +142,14 @@ def bench_retrieval_large(jnp, jax):
     q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
     block = 65536
 
+    from recommendit_tpu.ops.topk import mips_topk_certified
+
     out = {}
     variants = {
         "exact": lambda q, it: mips_topk(q, it, k, block),
+        # certified: verified two-pass fast path (recall-target prefilter +
+        # exactness certificate), lax.cond escalation — recall 1.0 always
+        "verified": lambda q, it: mips_topk_certified(q, it, k, block),
         "approx": lambda q, it: mips_topk(q, it, k, block, "approx"),
         "full_approx": lambda q, it: jax.lax.approx_max_k(
             jnp.dot(q, it.T, preferred_element_type=jnp.float32), k
@@ -160,6 +169,11 @@ def bench_retrieval_large(jnp, jax):
     vn, idxn = mips_topk_numpy(np.asarray(q0)[:8], items_np, k)
     out["retrieval_1M_exact_matches_numpy"] = bool(
         (np.asarray(i)[:8] == idxn).all()
+    )
+    vv, vi = mips_topk_certified(q0, items, k, block)
+    out["retrieval_1M_verified_matches_numpy"] = bool(
+        (np.asarray(vi)[:8] == idxn).all()
+        and np.allclose(np.asarray(vv)[:8], vn, rtol=1e-5, atol=1e-5)
     )
     return out
 
@@ -342,7 +356,8 @@ def main():
         f"({results['bpr_step_ms']:.2f} ms/step @1024)")
     results.update(bench_retrieval_large(jnp, jax))
     log(f"retrieval 1M x 128: exact "
-        f"{results['retrieval_1M_dim128_exact_qps']:.0f} qps, approx "
+        f"{results['retrieval_1M_dim128_exact_qps']:.0f} qps, verified "
+        f"{results['retrieval_1M_dim128_verified_qps']:.0f}, approx "
         f"{results['retrieval_1M_dim128_approx_qps']:.0f}, full+approx "
         f"{results['retrieval_1M_dim128_full_approx_qps']:.0f}")
     results.update(bench_serve_e2e(jnp, jax))
