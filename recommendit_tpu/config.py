@@ -128,6 +128,13 @@ class Settings:
     # reference's 50-col contract discards the retrieval signal at ranking
     # time; with it the full pipeline dominates retrieval-only).
     RANKER_USE_RETRIEVAL_SCORE: bool = True
+    # Also feed log1p(candidate position among unseen candidates) as a
+    # feature (candidates mode). Unlike the raw similarity, the rank's
+    # distribution is IDENTICAL between ranker training (inner-tower
+    # candidates) and serving (outer-tower candidates) — uniform 0..C-1
+    # per query — so it transfers across the calibration shift that makes
+    # raw-score features brittle.
+    RANKER_USE_RETRIEVAL_RANK: bool = True
     # GBDT-specific knobs (mirror the reference's LightGBM surface,
     # src/config.py:27-29)
     GBDT_N_ESTIMATORS: int = 200

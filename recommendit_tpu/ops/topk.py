@@ -406,6 +406,11 @@ def mips_topk(
         raise ValueError(f"k={k} exceeds corpus size {n}")
     if mode == "exact":
         return _exact_topk(queries, item_embs, k)
+    if mode != "approx":
+        # 'verified' lives in mips_topk_certified (3 outputs / cond
+        # escalation); anything else is a typo — never silently degrade
+        # to the 0.95-recall path
+        raise ValueError(f"unknown mips_topk mode {mode!r}")
 
     bs = min(block_size, n)
     dense_limit = 512 * 1024 * 1024
@@ -464,7 +469,15 @@ def mips_topk_int8(
         scores = raw.astype(jnp.float32) * (q_scale[:, None] * s_blk[None, :])
         cols = start + jnp.arange(bs, dtype=jnp.int32)
         scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
-        bvals, bsel = fast_topk(scores, block_k, recall)
+        if recall >= 1.0:
+            # exact selection over a wide block must dodge the
+            # PartialReduce wide-row cliff (~16k): windowed pruning /
+            # chunked reduce, same as the f32 exact path (measured: a
+            # single exact reduce at 65k-wide block cost 458 ms/batch —
+            # 33x the pruned selection)
+            bvals, bsel = _windowed_exact_topk(scores, block_k)
+        else:
+            bvals, bsel = fast_topk(scores, block_k, recall)
         bidx = cols[bsel]
         cand_vals = jnp.concatenate([vals, bvals], axis=1)
         cand_idx = jnp.concatenate([idxs, bidx], axis=1)

@@ -249,11 +249,31 @@ class RecommendationPipeline:
         else:
             seen_indptr = seen_cols = None
             seen_steps = 0
-        # ranker trained with the tower similarity as its 51st feature?
-        use_rscore = (
-            self.ranker.feature_names
-            and self.ranker.feature_names[-1] == "retrieval_score"
-        )
+        # extra (beyond the 50-col contract) ranker features, in training
+        # order: 'retrieval_score' (tower similarity) and/or
+        # 'retrieval_rank' (log1p position among UNSEEN candidates — the
+        # calibration-shift-free form of the retrieval signal; training
+        # builds it identically in _build_candidate_frames)
+        fnames = list(self.ranker.feature_names or [])
+        extra_feats = [
+            n for n in fnames if n in ("retrieval_score", "retrieval_rank")
+        ]
+
+        def _with_extras(feats, rvals, unseen):
+            """Append extra feature columns along the last axis.
+            feats (..., C, 50); rvals/unseen (..., C)."""
+            cols = []
+            for name in extra_feats:
+                if name == "retrieval_score":
+                    cols.append(rvals)
+                else:  # retrieval_rank: position among unseen candidates
+                    r = jnp.cumsum(unseen.astype(jnp.float32), axis=-1) - 1.0
+                    cols.append(jnp.log1p(jnp.maximum(r, 0.0)))
+            if not cols:
+                return feats
+            return jnp.concatenate(
+                [feats] + [c[..., None] for c in cols], axis=-1
+            )
 
         # Packed feature tables are call-time ARGUMENTS (not closure
         # constants) so online feature updates (update_user_features /
@@ -268,14 +288,15 @@ class RecommendationPipeline:
             cand_ids = jnp.take(item_ids_dev, pos)
             u_vec = user_packed[user_id]
             feats = assemble_packed_jnp(u_vec, jnp.take(item_packed, cand_ids, axis=0))
-            if use_rscore:
-                feats = jnp.concatenate([feats, rvals[:, None]], axis=1)
-            scores = score_fn(feats)
             if seen_cols is not None:
                 seen = seen_mask_jnp(
                     seen_indptr, seen_cols, seen_steps, user_id, cand_ids
                 )
-                scores = jnp.where(seen, -jnp.inf, scores)
+            else:
+                seen = jnp.zeros(cand_ids.shape, bool)
+            feats = _with_extras(feats, rvals, ~seen)
+            scores = score_fn(feats)
+            scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
                 jnp.take(cand_ids, sel),
@@ -297,15 +318,16 @@ class RecommendationPipeline:
                     uv, jnp.take(item_packed, ci, axis=0)
                 )
             )(u_vecs, cand_ids)                                  # (B, C, 50)
-            if use_rscore:
-                feats = jnp.concatenate([feats, rvals[:, :, None]], axis=2)
-            scores = score_fn(feats)                             # (B, C)
             if seen_cols is not None:
                 seen = seen_mask_jnp(
                     seen_indptr, seen_cols, seen_steps,
                     user_ids[:, None], cand_ids,
                 )
-                scores = jnp.where(seen, -jnp.inf, scores)
+            else:
+                seen = jnp.zeros(cand_ids.shape, bool)
+            feats = _with_extras(feats, rvals, ~seen)
+            scores = score_fn(feats)                             # (B, C)
+            scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
                 jnp.take_along_axis(cand_ids, sel, axis=1),

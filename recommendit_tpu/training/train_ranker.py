@@ -243,6 +243,11 @@ class RankerTrainer:
             if cfg.FILTER_SEEN and u in seen_by_user:
                 keep = ~np.isin(cand, list(seen_by_user[u]))
                 cand, score = cand[keep], score[keep]
+            # retrieval position among unseen candidates — serving computes
+            # the same rank (cumsum over the unseen mask), so unlike the raw
+            # score this feature's distribution cannot shift between the
+            # inner-tower training candidates and the serving tower's
+            rank = np.arange(len(cand), dtype=np.float32)
             y = np.isin(cand, list(pos_by_user[u]))
             neg_idx = np.nonzero(~y)[0]
             # head of the retrieval order + uniform tail sample
@@ -258,6 +263,7 @@ class RankerTrainer:
             feats = assemble_packed_np(user_table[u], item_table[cand])
             df = pd.DataFrame(feats, columns=feature_columns())
             df["retrieval_score"] = score
+            df["retrieval_rank"] = np.log1p(rank[sel])
             df["query_id"] = u
             df["user_id"] = u
             df["item_id"] = cand
@@ -276,10 +282,16 @@ class RankerTrainer:
             "%d rows, %.4f positive rate",
             len(qs), n_test, len(all_feats), all_feats["label"].mean(),
         )
-        extra = ["retrieval_score"] if cfg.RANKER_USE_RETRIEVAL_SCORE else []
-        if not cfg.RANKER_USE_RETRIEVAL_SCORE:
-            train_feats = train_feats.drop(columns=["retrieval_score"])
-            test_feats = test_feats.drop(columns=["retrieval_score"])
+        extra = []
+        for col, keep in (
+            ("retrieval_score", cfg.RANKER_USE_RETRIEVAL_SCORE),
+            ("retrieval_rank", cfg.RANKER_USE_RETRIEVAL_RANK),
+        ):
+            if keep:
+                extra.append(col)
+            else:
+                train_feats = train_feats.drop(columns=[col])
+                test_feats = test_feats.drop(columns=[col])
         return train_feats.copy(), test_feats.copy(), extra
 
     def _load_tower_embeddings(self):

@@ -67,10 +67,14 @@ def run_one(name, weights, seed, args):
         eval_users=args.eval_users,
     )
     t0 = time.time()
+    holdout = {}
     for stage in ("features", "embeddings", "index", "ranker"):
-        orch.run_stage(stage)
+        out = orch.run_stage(stage)
+        if stage == "ranker" and isinstance(out, dict):
+            holdout = {f"holdout_{k}": v for k, v in out.items()}
     rep = orch.run_stage("evaluate")
     rep = {k: v for k, v in rep.items() if isinstance(v, (int, float))}
+    rep.update(holdout)
     rep["seconds"] = round(time.time() - t0, 1)
     return rep
 
@@ -106,6 +110,8 @@ def main():
         reports.append(rep)
         line = {"name": args.name, "seed": s, "weights": weights,
                 **{k: round(rep.get(k, float("nan")), 4) for k in keys},
+                **{k: round(v, 4) for k, v in rep.items()
+                   if k.startswith("holdout_")},
                 "seconds": rep["seconds"]}
         print(json.dumps(line), flush=True)
         with open(args.log, "a") as f:
