@@ -419,6 +419,66 @@ def mips_topk(
     return _scan_topk(queries, item_embs, k, bs, 0.95)
 
 
+def _quantize_queries(queries):
+    """Per-row symmetric round-to-nearest int8 quantization."""
+    q_abs = jnp.maximum(jnp.max(jnp.abs(queries), axis=1), 1e-12)
+    q_scale = q_abs / 127.0                          # (Q,)
+    q_i8 = jnp.clip(
+        jnp.round(queries / q_scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return q_i8, q_scale
+
+
+def _score_int8(q_i8, q_scale, block_i8, s_blk):
+    """int8 x int8 -> int32 MXU matmul, magnitudes restored from the outer
+    product of the per-row scale vectors."""
+    raw = jax.lax.dot_general(
+        q_i8, block_i8,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                # (Q, blk) int32
+    return raw.astype(jnp.float32) * (q_scale[:, None] * s_blk[None, :])
+
+
+def _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k):
+    """Exact-on-int8-scores top-k, structured like :func:`_exact_topk`:
+    full-row scoring in budget-sized column chunks + ONE windowed pruned
+    selection per chunk. Selecting per wide row (not per 65k block) is what
+    makes the f32 exact path fast — 16 per-block selections + merges cost
+    ~10x the single pruned pass at (256, 1M)."""
+    q, d = q_i8.shape
+    n = items_i8.shape[0]
+    chunk = max(_REDUCE_CHUNK,
+                (_SCORE_BUDGET // q) // _REDUCE_CHUNK * _REDUCE_CHUNK)
+    if n <= chunk:
+        scores = _score_int8(q_i8, q_scale, items_i8, item_scales)
+        return _windowed_exact_topk(scores, k)
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    items = jnp.pad(items_i8, ((0, pad), (0, 0))) if pad else items_i8
+    scales = jnp.pad(item_scales, (0, pad)) if pad else item_scales
+
+    def body(carry, blk):
+        vals, idxs = carry
+        start = blk * chunk
+        block = jax.lax.dynamic_slice(items, (start, 0), (chunk, d))
+        s_blk = jax.lax.dynamic_slice(scales, (start,), (chunk,))
+        scores = _score_int8(q_i8, q_scale, block, s_blk)
+        cols = start + jnp.arange(chunk, dtype=jnp.int32)
+        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+        bv, bi = _windowed_exact_topk(scores, min(k, chunk))
+        cand_v = jnp.concatenate([vals, bv], axis=1)
+        cand_i = jnp.concatenate([idxs, bi + start], axis=1)
+        mv, ms = _chunked_exact_reduce(cand_v, k)
+        return (mv, jnp.take_along_axis(cand_i, ms, axis=1)), None
+
+    init = (jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((q, k), dtype=jnp.int32))
+    (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return vals, idxs
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def mips_topk_int8(
     queries: jnp.ndarray,       # (Q, D) f32
@@ -428,56 +488,44 @@ def mips_topk_int8(
     block_size: int = 4096,
     mode: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming blocked top-k over an int8-quantized corpus.
+    """Top-k over an int8-quantized corpus.
 
-    Queries are round-to-nearest quantized per row on the fly, the block
-    score is an int8 x int8 -> int32 matmul on the MXU, and magnitudes are
+    Queries are round-to-nearest quantized per row on the fly, the score
+    is an int8 x int8 -> int32 matmul on the MXU, and magnitudes are
     restored with the outer product of the two scale vectors. 4x less HBM
     traffic than the f32 scan; ranking error is bounded by the per-row
-    quantization step (measured recall@500 >= 0.99 on normalized towers).
+    quantization step (measured recall@500 >= 0.98 on normalized towers).
+
+    'exact' mode selects the true top-k OF THE INT8 SCORES via the same
+    windowed pruning as the f32 exact path; 'approx' streams blocks
+    through the recall-0.95 PartialReduce.
     """
     q, d = queries.shape
     n = items_i8.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds corpus size {n}")
+
+    q_i8, q_scale = _quantize_queries(queries)
+
+    if mode != "approx":
+        return _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
+
     bs = min(block_size, n)
-
-    q_abs = jnp.maximum(jnp.max(jnp.abs(queries), axis=1), 1e-12)
-    q_scale = q_abs / 127.0                          # (Q,)
-    q_i8 = jnp.clip(
-        jnp.round(queries / q_scale[:, None]), -127, 127
-    ).astype(jnp.int8)
-
     n_blocks = -(-n // bs)
     pad = n_blocks * bs - n
     items = jnp.pad(items_i8, ((0, pad), (0, 0))) if pad else items_i8
     scales = jnp.pad(item_scales, (0, pad)) if pad else item_scales
-
     block_k = min(k, bs)
-    recall = 0.95 if mode == "approx" else 1.0
 
     def body(carry, blk):
         vals, idxs = carry
         start = blk * bs
         block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
         s_blk = jax.lax.dynamic_slice(scales, (start,), (bs,))
-        raw = jax.lax.dot_general(
-            q_i8, block,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                            # (Q, bs) int32
-        scores = raw.astype(jnp.float32) * (q_scale[:, None] * s_blk[None, :])
+        scores = _score_int8(q_i8, q_scale, block, s_blk)
         cols = start + jnp.arange(bs, dtype=jnp.int32)
         scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
-        if recall >= 1.0:
-            # exact selection over a wide block must dodge the
-            # PartialReduce wide-row cliff (~16k): windowed pruning /
-            # chunked reduce, same as the f32 exact path (measured: a
-            # single exact reduce at 65k-wide block cost 458 ms/batch —
-            # 33x the pruned selection)
-            bvals, bsel = _windowed_exact_topk(scores, block_k)
-        else:
-            bvals, bsel = fast_topk(scores, block_k, recall)
+        bvals, bsel = fast_topk(scores, block_k, 0.95)
         bidx = cols[bsel]
         cand_vals = jnp.concatenate([vals, bvals], axis=1)
         cand_idx = jnp.concatenate([idxs, bidx], axis=1)
@@ -485,19 +533,13 @@ def mips_topk_int8(
         midx = jnp.take_along_axis(cand_idx, msel, axis=1)
         return (mvals, midx), None
 
-    if n_blocks == 1:
-        (vals, idxs), _ = body(
-            (
-                jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
-                jnp.zeros((q, k), dtype=jnp.int32),
-            ),
-            jnp.asarray(0, jnp.int32),
-        )
-        return vals, idxs
     init = (
         jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
         jnp.zeros((q, k), dtype=jnp.int32),
     )
+    if n_blocks == 1:
+        (vals, idxs), _ = body(init, jnp.asarray(0, jnp.int32))
+        return vals, idxs
     (vals, idxs), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
     return vals, idxs
 
