@@ -135,6 +135,12 @@ class Settings:
     # per query — so it transfers across the calibration shift that makes
     # raw-score features brittle.
     RANKER_USE_RETRIEVAL_RANK: bool = True
+    # Serving-side score fusion: final = z(ranker) + beta * z(retrieval)
+    # per candidate set (0 = pure ranker ordering). The offline ranker is
+    # trained on an inner tower's candidates; the blend anchors re-ranking
+    # to the serving tower's ordering so a distribution-shifted ranker
+    # degrades toward retrieval quality instead of below it.
+    RANKER_BLEND_RETRIEVAL: float = 0.0
     # GBDT-specific knobs (mirror the reference's LightGBM surface,
     # src/config.py:27-29)
     GBDT_N_ESTIMATORS: int = 200

@@ -259,6 +259,28 @@ class RecommendationPipeline:
             n for n in fnames if n in ("retrieval_score", "retrieval_rank")
         ]
 
+        # Score fusion with the retrieval prior: final = z(ranker) +
+        # beta * z(retrieval), both standardized over the UNSEEN candidate
+        # axis. The offline ranker trains on candidates from an inner tower
+        # (train_ranker._build_candidate_frames) whose distribution is not
+        # identical to the serving tower's; the blend keeps the first
+        # stage's ordering as a prior so a shifted re-ranker degrades
+        # toward retrieval quality instead of below it.
+        beta = float(getattr(self.cfg, "RANKER_BLEND_RETRIEVAL", 0.0))
+
+        def _blend(scores, rvals, unseen):
+            if beta <= 0.0:
+                return scores
+            m = unseen.astype(jnp.float32)
+            cnt = jnp.maximum(m.sum(-1, keepdims=True), 1.0)
+
+            def _z(x):
+                mu = (x * m).sum(-1, keepdims=True) / cnt
+                var = (((x - mu) ** 2) * m).sum(-1, keepdims=True) / cnt
+                return (x - mu) * jax.lax.rsqrt(var + 1e-9)
+
+            return _z(scores) + beta * _z(rvals)
+
         def _with_extras(feats, rvals, unseen):
             """Append extra feature columns along the last axis.
             feats (..., C, 50); rvals/unseen (..., C)."""
@@ -295,7 +317,7 @@ class RecommendationPipeline:
             else:
                 seen = jnp.zeros(cand_ids.shape, bool)
             feats = _with_extras(feats, rvals, ~seen)
-            scores = score_fn(feats)
+            scores = _blend(score_fn(feats), rvals, ~seen)
             scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (
@@ -326,7 +348,7 @@ class RecommendationPipeline:
             else:
                 seen = jnp.zeros(cand_ids.shape, bool)
             feats = _with_extras(feats, rvals, ~seen)
-            scores = score_fn(feats)                             # (B, C)
+            scores = _blend(score_fn(feats), rvals, ~seen)       # (B, C)
             scores = jnp.where(seen, -jnp.inf, scores)
             top_scores, sel = fast_topk(scores, k_out)
             return (

@@ -416,12 +416,27 @@ class RankerTrainer:
 
     def _evaluate_holdout(self, ranker, test_feats: pd.DataFrame, cols):
         """Per-query NDCG@10/20 + Recall@20 on the held-out queries
-        (reference ``train_ranker.py:139-175``)."""
+        (reference ``train_ranker.py:139-175``).
+
+        Also reports the RETRIEVAL ordering's NDCG@10 on the same groups
+        (``base_ndcg@10``) when a retrieval feature is present — the paired
+        in-distribution baseline that separates "the ranker can't learn the
+        signal" (ndcg ~= base) from "the ranker learns it but the serving
+        candidate distribution shifts" (ndcg >> base, serving eval flat).
+        """
         scores = ranker.predict(test_feats)
         df = test_feats[["query_id", "item_id", "label"]].copy()
         df["score"] = scores
+        base_col = next(
+            (c for c in ("retrieval_rank", "retrieval_score")
+             if c in test_feats.columns), None,
+        )
+        if base_col is not None:
+            # rank ascending = better; score descending = better
+            sgn = -1.0 if base_col == "retrieval_rank" else 1.0
+            df["base"] = sgn * test_feats[base_col].values
 
-        ndcg10, ndcg20, rec20 = [], [], []
+        ndcg10, ndcg20, rec20, base10 = [], [], [], []
         for _, g in df.groupby("query_id"):
             ranked = g.sort_values("score", ascending=False)["item_id"].tolist()
             relevant = g[g["label"] == 1]["item_id"].tolist()
@@ -430,9 +445,16 @@ class RankerTrainer:
             ndcg10.append(ndcg_at_k(ranked, relevant, 10))
             ndcg20.append(ndcg_at_k(ranked, relevant, 20))
             rec20.append(recall_at_k(ranked, relevant, 20))
-        return {
+            if base_col is not None:
+                base_ranked = g.sort_values(
+                    "base", ascending=False)["item_id"].tolist()
+                base10.append(ndcg_at_k(base_ranked, relevant, 10))
+        out = {
             "ndcg@10": float(np.mean(ndcg10)) if ndcg10 else 0.0,
             "ndcg@20": float(np.mean(ndcg20)) if ndcg20 else 0.0,
             "recall@20": float(np.mean(rec20)) if rec20 else 0.0,
             "n_queries": len(ndcg10),
         }
+        if base10:
+            out["base_ndcg@10"] = float(np.mean(base10))
+        return out
