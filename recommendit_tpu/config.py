@@ -94,8 +94,12 @@ class Settings:
     RANKER_EARLY_STOP_ROUNDS: int = 5
     # Group loss: lambdarank | lambdaloss (NDCG-Loss2) | softmax (listwise)
     RANKER_LOSS_TYPE: str = "lambdarank"
-    # Additionally standardize features within each query/candidate set
-    RANKER_QUERY_NORM: bool = False
+    # Additionally standardize features within each query/candidate set.
+    # Default on: the offline ranker meets a shifted candidate distribution
+    # at serve time (inner vs serving tower) and per-set standardization is
+    # the cheapest shift equalizer (-17% -> -2% serve NDCG on its own;
+    # see RANKER_BLEND_RETRIEVAL for the rest of the story).
+    RANKER_QUERY_NORM: bool = True
     # Fraction of each user's training negatives replaced by HARD negatives
     # mined from the retrieval model's top unrated candidates — aligns the
     # ranker's training distribution with the candidate sets it re-ranks at
@@ -114,6 +118,13 @@ class Settings:
     RANKER_TRAINING_MODE: str = "candidates"
     # label window within the ranker's data view (candidates mode)
     RANKER_LABEL_FRACTION: float = 0.1
+    # Pool candidate frames from this many inner temporal splits, each with
+    # its own inner tower (train_ranker._build_candidate_frames). >1 makes
+    # the ranker robust to tower retraining — the candidate distribution it
+    # meets at serving time comes from a DIFFERENT tower than any it
+    # trained against, and single-fold rankers measurably overfit their
+    # one inner tower's score geometry.
+    RANKER_CAND_FOLDS: int = 2
     # cap on candidate-mode training queries (users are subsampled past
     # this — keeps the feature frame bounded at ML-25M-scale row counts;
     # ~6k users at ML-1M scale, so a no-op there)
@@ -140,7 +151,11 @@ class Settings:
     # trained on an inner tower's candidates; the blend anchors re-ranking
     # to the serving tower's ordering so a distribution-shifted ranker
     # degrades toward retrieval quality instead of below it.
-    RANKER_BLEND_RETRIEVAL: float = 0.0
+    # Default 1.0: measured on the 3k-user benchmark it turns a ranker
+    # that SUBTRACTS at serve time (-17%) into +19-28% NDCG@10 over
+    # retrieval-only (with query_norm + 2 candidate folds; RESULTS.md
+    # round-3 quality section).
+    RANKER_BLEND_RETRIEVAL: float = 1.0
     # GBDT-specific knobs (mirror the reference's LightGBM surface,
     # src/config.py:27-29)
     GBDT_N_ESTIMATORS: int = 200

@@ -63,21 +63,23 @@ class SynthWeights:
 
     latent: float = 0.65     # bilinear user x item taste (tower-learnable)
     genre: float = 0.75      # taste . genre match (both stages can learn)
-    quality: float = 0.90    # per-item intrinsic quality (ranker: item_avg_rating)
-    loyalty: float = 0.80    # nonlinear bonus when genre match is strong
+    quality: float = 1.10    # per-item intrinsic quality (ranker: item_avg_rating)
+    loyalty: float = 1.00    # nonlinear bonus when genre match is strong
     loyalty_tau: float = 0.85  # threshold on the z-scored genre match
     user_bias: float = 0.40  # rating-level shift (does not reorder within a user)
-    noise: float = 0.70
-    exposure_gamma: float = 0.6    # how strongly histories tilt toward
+    noise: float = 0.60
+    exposure_gamma: float = 3.0    # how strongly histories tilt toward
     # genre taste (what users CHOOSE to watch; the tower's main signal —
     # test positives require exposure, so a taste-blind exposure process
     # caps every personalized method at the popularity ceiling)
-    exposure_latent: float = 0.0   # idiosyncratic (bilinear) taste tilt in
+    exposure_latent: float = 2.2   # idiosyncratic (bilinear) taste tilt in
     # exposure — signal only the per-user tower embedding can capture
-    exposure_quality: float = 0.9  # how strongly exposure tilts toward good
+    exposure_quality: float = 0.15  # how strongly exposure tilts toward good
     # items (on real platforms what users watch correlates with quality —
     # word of mouth, charts; this also makes the raw popularity baseline
-    # stronger, so it is the main popularity-vs-retrieval margin knob)
+    # stronger, so it is the main popularity-vs-retrieval margin knob;
+    # kept small so popularity stays a BASELINE: at 0.9 the popularity
+    # ordering itself absorbed the quality signal and beat retrieval)
 
     def replace(self, **kw) -> "SynthWeights":
         return dataclasses.replace(self, **kw)

@@ -538,6 +538,14 @@ class RecommendationPipeline:
         self.retrieval_latency.record(device_ms * frac)
         self.ranking_latency.record(device_ms * (1.0 - frac))
 
+        # seen candidates carry -inf scores out of the fused call; when a
+        # heavy user's candidate set is mostly seen, fewer than k finite
+        # rows survive — drop the -inf tail and backfill from unseen
+        # popularity so the contract (k items, none seen) holds
+        finite = np.isfinite(scores)
+        ids, scores, retr_scores = (
+            ids[finite], scores[finite], retr_scores[finite]
+        )
         results = []
         for rank, (iid, sc, rs) in enumerate(
             zip(ids[:k].tolist(), scores[:k].tolist(), retr_scores[:k].tolist()),
@@ -553,6 +561,20 @@ class RecommendationPipeline:
                     genres=self._item_genres.get(int(iid), []),
                 )
             )
+        if len(results) < k:
+            for iid in self._unseen_popularity(user_id, k, exclude={
+                r.item_id for r in results
+            })[: k - len(results)]:
+                results.append(
+                    RecommendationResult(
+                        item_id=int(iid),
+                        title=self._item_titles.get(int(iid), f"Item {iid}"),
+                        score=float("-inf"),
+                        rank=len(results) + 1,
+                        retrieval_score=0.0,
+                        genres=self._item_genres.get(int(iid), []),
+                    )
+                )
 
         if use_cache and results:
             self.feature_store.cache_recommendations(
@@ -581,11 +603,35 @@ class RecommendationPipeline:
             chunk = known[s: s + batch_size]
             # pad to a fixed shape so only one executable is compiled
             padded = chunk + [1] * (batch_size - len(chunk))
-            ids, _, _ = self._serve_batch_fn(jnp.asarray(padded, jnp.int32))
+            ids, scores, _ = self._serve_batch_fn(
+                jnp.asarray(padded, jnp.int32)
+            )
             ids = np.asarray(ids)
+            scores = np.asarray(scores)
             for row, u in enumerate(chunk):
-                out[u] = ids[row, :k].tolist()
+                finite = np.isfinite(scores[row])
+                got = ids[row][finite][:k].tolist()
+                if len(got) < k:
+                    got += self._unseen_popularity(
+                        u, k, exclude=set(got)
+                    )[: k - len(got)]
+                out[u] = got
         return out
+
+    def _unseen_popularity(self, user_id: int, k: int, exclude=()):
+        """Top popular items the user has not seen (backfill when the
+        candidate set cannot supply k unseen items)."""
+        fill = [
+            i for i in self._popularity_fallback[: 4 * k + len(exclude)]
+            if i not in exclude
+        ]
+        if self._seen is not None and fill:
+            arr = np.asarray(fill, dtype=np.int64)
+            seen = self._seen.contains(
+                np.full(arr.shape, user_id, dtype=np.int64), arr
+            )
+            fill = [int(i) for i, s in zip(fill, seen) if not s]
+        return fill[:k]
 
     # ------------------------------------------------------------------ #
     # Cold start + stats                                                   #

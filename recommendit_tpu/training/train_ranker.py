@@ -153,17 +153,82 @@ class RankerTrainer:
              the retrieval order, where re-ranking errors cost NDCG, plus
              uniform draws from the tail for calibration).
 
-        Returns (train_feats, test_feats, extra_cols); queries are split
-        9/1 for the holdout report.
-        """
-        import tempfile
+        With ``RANKER_CAND_FOLDS`` > 1, several inner splits are pooled:
+        fold j labels on the slice ``[1-(j+1)f, 1-jf)`` with an inner tower
+        trained on everything before it. Each fold's candidates come from a
+        DIFFERENT tower version, so the pooled ranker must learn patterns
+        that survive tower retraining — the offline analogue of training on
+        several days of a production retriever's candidate logs, and the
+        direct mitigation for the inner-tower -> serving-tower candidate
+        distribution shift (measured: holdout +27% over the retrieval
+        ordering collapsed to +2% at serve time on single-fold training).
 
+        Returns (train_feats, test_feats, extra_cols); users are split
+        9/1 (all their folds' groups together) for the holdout report.
+        """
         cfg = self.cfg
         rng = np.random.default_rng(cfg.SEED)
         r = self.data.ratings.sort_values("timestamp")
-        cut = int(len(r) * (1.0 - cfg.RANKER_LABEL_FRACTION))
-        hist = r.iloc[:cut].reset_index(drop=True)
-        label = r.iloc[cut:]
+        f = cfg.RANKER_LABEL_FRACTION
+        folds = max(1, cfg.RANKER_CAND_FOLDS)
+        if folds * f > 0.5:
+            raise RuntimeError(
+                f"RANKER_CAND_FOLDS={folds} x RANKER_LABEL_FRACTION={f} "
+                "would label more than half the training window"
+            )
+        frames = []
+        for j in range(folds):
+            hi = int(len(r) * (1.0 - j * f))
+            lo = int(len(r) * (1.0 - (j + 1) * f))
+            try:
+                frames.extend(
+                    self._fold_candidate_frames(
+                        r.iloc[:lo].reset_index(drop=True), r.iloc[lo:hi],
+                        rng, fold=j,
+                    )
+                )
+            except RuntimeError:
+                if j == 0 or not frames:
+                    raise
+                logger.warning(
+                    "candidate fold %d has no labelable users — pooling "
+                    "the %d earlier fold(s) only", j, j,
+                )
+                break
+        all_feats = pd.concat(frames, ignore_index=True)
+
+        users = np.unique(all_feats["user_id"].values)
+        rng.shuffle(users)
+        n_test = max(1, len(users) // 10)
+        test_u = set(users[:n_test].tolist())
+        test_feats = all_feats[all_feats["user_id"].isin(test_u)]
+        train_feats = all_feats[~all_feats["user_id"].isin(test_u)]
+        logger.info(
+            "Candidate ranker training: %d folds, %d users (%d held out), "
+            "%d rows, %.4f positive rate",
+            folds, len(users), n_test, len(all_feats),
+            all_feats["label"].mean(),
+        )
+        extra = []
+        for col, keep in (
+            ("retrieval_score", cfg.RANKER_USE_RETRIEVAL_SCORE),
+            ("retrieval_rank", cfg.RANKER_USE_RETRIEVAL_RANK),
+        ):
+            if keep:
+                extra.append(col)
+            else:
+                train_feats = train_feats.drop(columns=[col])
+                test_feats = test_feats.drop(columns=[col])
+        return train_feats.copy(), test_feats.copy(), extra
+
+    def _fold_candidate_frames(self, hist, label, rng, fold: int = 0):
+        """One inner split's candidate frames: train an inner tower on
+        ``hist``, retrieve serving-shaped candidates, label them from
+        ``label``. Query ids are offset per fold so group losses never mix
+        folds."""
+        import tempfile
+
+        cfg = self.cfg
         inner = MovieLensData(
             ratings=hist, users=self.data.users, movies=self.data.movies
         )
@@ -264,35 +329,12 @@ class RankerTrainer:
             df = pd.DataFrame(feats, columns=feature_columns())
             df["retrieval_score"] = score
             df["retrieval_rank"] = np.log1p(rank[sel])
-            df["query_id"] = u
+            df["query_id"] = u + fold * (model.n_users + 1)
             df["user_id"] = u
             df["item_id"] = cand
             df["label"] = y.astype(np.int64)
             frames.append(df)
-        all_feats = pd.concat(frames, ignore_index=True)
-
-        qs = np.array(users)
-        rng.shuffle(qs)
-        n_test = max(1, len(qs) // 10)
-        test_q = set(qs[:n_test].tolist())
-        test_feats = all_feats[all_feats["query_id"].isin(test_q)]
-        train_feats = all_feats[~all_feats["query_id"].isin(test_q)]
-        logger.info(
-            "Candidate ranker training: %d queries (%d held out), "
-            "%d rows, %.4f positive rate",
-            len(qs), n_test, len(all_feats), all_feats["label"].mean(),
-        )
-        extra = []
-        for col, keep in (
-            ("retrieval_score", cfg.RANKER_USE_RETRIEVAL_SCORE),
-            ("retrieval_rank", cfg.RANKER_USE_RETRIEVAL_RANK),
-        ):
-            if keep:
-                extra.append(col)
-            else:
-                train_feats = train_feats.drop(columns=[col])
-                test_feats = test_feats.drop(columns=[col])
-        return train_feats.copy(), test_feats.copy(), extra
+        return frames
 
     def _load_tower_embeddings(self):
         """(model, user_embs (n_users+1, D), item_embs (n_items, D)) from

@@ -349,3 +349,73 @@ class TestHardNegativeMining:
         pairs, _ = fe.build_training_pairs(n_negatives=2, seed=0)
         out = trainer._mine_hard_negatives(pairs.copy())
         assert np.array_equal(pairs["item_id"].values, out["item_id"].values)
+
+
+class TestCandidateFolds:
+    """Multi-fold candidate training (RANKER_CAND_FOLDS > 1): pooled
+    frames from several inner temporal splits, each with its own tower."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, tmp_path_factory):
+        from recommendit_tpu.config import Settings
+        from recommendit_tpu.data.synthetic import make_synthetic_movielens
+        from recommendit_tpu.training.train_ranker import RankerTrainer
+
+        data = make_synthetic_movielens(
+            n_users=80, n_items=120, n_ratings=6000, seed=7
+        )
+        cfg = Settings(
+            EMBEDDING_DIM=16, HIDDEN_DIM=32, BATCH_SIZE=128, TRAIN_EPOCHS=2,
+            USE_PALLAS=False, SEED=0, TOP_K_CANDIDATES=40,
+            RANKER_CAND_FOLDS=2, RANKER_LABEL_FRACTION=0.15,
+            EMBEDDING_MODEL_PATH="",
+        )
+        trainer = RankerTrainer(data, cfg)
+        train_f, test_f, extra = trainer._build_candidate_frames()
+        return data, cfg, train_f, test_f, extra
+
+    def test_two_folds_distinct_query_spaces(self, frames):
+        data, cfg, train_f, test_f, _ = frames
+        import pandas as pd
+
+        all_f = pd.concat([train_f, test_f])
+        fold_of = all_f["query_id"].values // (data.n_users + 1)
+        assert set(np.unique(fold_of)) == {0, 1}
+
+    def test_user_never_straddles_holdout(self, frames):
+        _, _, train_f, test_f, _ = frames
+        assert not set(train_f["user_id"]) & set(test_f["user_id"])
+
+    def test_extra_columns_present(self, frames):
+        _, _, train_f, _, extra = frames
+        assert extra == ["retrieval_score", "retrieval_rank"]
+        assert {"retrieval_score", "retrieval_rank"} <= set(train_f.columns)
+
+    def test_query_id_recovers_user(self, frames):
+        data, _, train_f, _, _ = frames
+        qid = train_f["query_id"].values % (data.n_users + 1)
+        assert np.array_equal(qid, train_f["user_id"].values)
+
+    def test_labels_match_fold_windows(self, frames):
+        """Each fold's positives come from its own label slice."""
+        data, cfg, train_f, test_f, _ = frames
+        import pandas as pd
+
+        r = data.ratings.sort_values("timestamp")
+        f = cfg.RANKER_LABEL_FRACTION
+        all_f = pd.concat([train_f, test_f])
+        for j in (0, 1):
+            hi = int(len(r) * (1.0 - j * f))
+            lo = int(len(r) * (1.0 - (j + 1) * f))
+            window = r.iloc[lo:hi]
+            pos_pairs = set(
+                zip(window[window["rating"] >= 4]["user_id"],
+                    window[window["rating"] >= 4]["item_id"])
+            )
+            fold_rows = all_f[all_f["query_id"] // (data.n_users + 1) == j]
+            pos = fold_rows[fold_rows["label"] == 1]
+            assert len(pos) > 0
+            assert all(
+                (u, i) in pos_pairs
+                for u, i in zip(pos["user_id"], pos["item_id"])
+            )
