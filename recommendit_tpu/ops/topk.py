@@ -12,9 +12,14 @@ n_lists/n_probe recall knobs become unnecessary), and unlike IVF the
 pruning is lossless for any input.
 
 Also provides ``approx`` mode via ``jax.lax.approx_max_k`` — the TPU-native
-recall-targeted top-k — when a recall-0.95 contract is acceptable, and a
-``mips_topk_verified`` two-pass prefilter+certificate variant that exposes
-a per-query machine-checked exactness bit.
+recall-targeted top-k — when a recall-0.95 contract is acceptable, and two
+certified-exact variants: ``mips_topk_certified(method='count')`` (default;
+recall-targeted prefilter + count-above certificate) and ``method='bound'``
+(ONE bf16-precision full pass + exact rescore of the candidates, certified
+by a rigorous rounding-error bound — for high dims / bf16 corpora where
+the HIGHEST-precision pass dominates). Both escalate to the windowed exact
+path in-program via ``lax.cond`` when the certificate fails, so the result
+is always value-exact.
 
 The distributed (sharded-corpus) variant lives in
 ``recommendit_tpu.parallel.retrieval``.
@@ -305,6 +310,110 @@ def _verified_topk(
     return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32), exact
 
 
+# Rigorous |f32_score - bf16_score| bound coefficient for the bound-certified
+# fast path: inputs rounded to bf16 (round-to-nearest, unit roundoff u=2^-8)
+# give per-product relative error <= 2u+u^2 ~= 2^-7 of |q_i||c_i|, summed and
+# Cauchy-Schwarz'd to ||q||*||c||; bf16xbf16 products are exact in f32 and the
+# MXU accumulates in f32 (error <= d*2^-24*||q||*||c||, absorbed — with the
+# norm-computation rounding — into the 1.25 safety factor).
+_BOUND_C = 1.25 * 2.0 ** -7
+
+
+def _bound_verified_topk(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    m: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One cheap full pass + tiny exact rescore, with a rounding-error proof.
+
+    Pass A scores the WHOLE corpus once at bf16 input precision (the fast
+    single-pass MXU matmul — ~6x cheaper than the HIGHEST-precision scan)
+    and selects the exact top-``m`` OF THOSE bf16 SCORES via the windowed
+    pruned selection. Every non-candidate item's bf16 score is then <= theta
+    (the m-th candidate's bf16 score), so its TRUE f32 score is <= theta +
+    eps with eps = ``_BOUND_C * ||q|| * max_c ||c||`` — a rigorous bound on
+    bf16 input-rounding error. Pass B rescores only the m candidates at
+    precision=HIGHEST and takes their exact top-k; with tau = the k-th true
+    score, the certificate ``theta + eps <= tau`` proves no non-candidate
+    can beat (or tie past) the returned top-k values.
+
+    Unlike :func:`_verified_topk` (count-above certificate), NEITHER pass
+    runs the HIGHEST-precision matmul over the full corpus — the expensive
+    proof pass is replaced by arithmetic on bounds that pass A already paid
+    for. Returns (values (Q,k), indices (Q,k), exact (Q,) bool).
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    queries = queries.astype(jnp.float32)
+    # explicit round-to-nearest bf16 casts: the error model must not depend
+    # on what a backend's DEFAULT matmul precision happens to do to f32
+    # inputs (CPU keeps full f32 — actual error below the bound is fine)
+    q_bf = queries.astype(jnp.bfloat16)
+    chunk = max(_REDUCE_CHUNK,
+                (_SCORE_BUDGET // q) // _REDUCE_CHUNK * _REDUCE_CHUNK)
+
+    if n <= chunk:
+        items_bf = item_embs.astype(jnp.bfloat16)
+        scores = _score(q_bf, items_bf.T, None)            # (Q, N) f32
+        pv, pi = _windowed_exact_topk(scores, m)
+        max_sq = jnp.max(
+            jnp.sum(jnp.square(items_bf.astype(jnp.float32)), axis=1)
+        )
+    else:
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        items_p = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
+
+        def body(carry, blk):
+            vals, idxs, mx = carry
+            start = blk * chunk
+            block_bf = jax.lax.dynamic_slice(
+                items_p, (start, 0), (chunk, d)
+            ).astype(jnp.bfloat16)
+            scores = _score(q_bf, block_bf.T, None)
+            cols = start + jnp.arange(chunk, dtype=jnp.int32)
+            scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+            bv, bi = _windowed_exact_topk(scores, min(m, chunk))
+            cand_v = jnp.concatenate([vals, bv], axis=1)
+            cand_i = jnp.concatenate([idxs, bi + start], axis=1)
+            mv, ms = _chunked_exact_reduce(cand_v, m)
+            sq = jnp.sum(jnp.square(block_bf.astype(jnp.float32)), axis=1)
+            sq = jnp.where(cols < n, sq, 0.0)
+            return (mv, jnp.take_along_axis(cand_i, ms, axis=1),
+                    jnp.maximum(mx, jnp.max(sq))), None
+
+        init = (jnp.full((q, m), -jnp.inf, jnp.float32),
+                jnp.zeros((q, m), jnp.int32), jnp.float32(0.0))
+        (pv, pi, max_sq), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+
+    pi = pi.astype(jnp.int32)
+    theta = pv[:, m - 1]                                   # (Q,)
+    q_norm = jnp.sqrt(jnp.sum(jnp.square(q_bf.astype(jnp.float32)), axis=1))
+    eps = _BOUND_C * q_norm * jnp.sqrt(max_sq)             # (Q,)
+
+    cand = jnp.take(item_embs, pi, axis=0).astype(jnp.float32)  # (Q, m, D)
+    true = jnp.einsum("qmd,qd->qm", cand, queries,
+                      precision=_EXACT, preferred_element_type=jnp.float32)
+    tv, tsel = fast_topk(true, k, 1.0)                     # m <= 16k: exact
+    ti = jnp.take_along_axis(pi, tsel, axis=1)
+    tau = tv[:, k - 1]
+    exact = theta + eps <= tau
+    return tv, ti, exact
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def mips_topk_bound_verified(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    m: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jitted :func:`_bound_verified_topk` (exposes the per-query exactness
+    certificate for callers that want to escalate themselves)."""
+    return _bound_verified_topk(queries, item_embs, k, m)
+
+
 def certify_topk(cand_vals: jnp.ndarray, count_above: jnp.ndarray,
                  k: int) -> jnp.ndarray:
     """Exactness certificate for a candidate top-k.
@@ -336,7 +445,7 @@ def mips_topk_verified(
                           recall_target)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def mips_topk_certified(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -344,26 +453,48 @@ def mips_topk_certified(
     block_size: int = 4096,
     oversample: int = 4,
     recall_target: float = 0.95,
+    method: str = "count",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Certified-exact top-k: verified two-pass fast path with automatic
-    escalation.
+    """Certified-exact top-k: verified fast path with automatic escalation.
 
-    Runs :func:`_verified_topk` (recall-targeted prefilter + count-above
-    exactness certificate — two streaming passes, both at PartialReduce
-    speed) and, only when ANY query's certificate fails, recomputes the
-    whole batch through the windowed exact path. The escalation is a
-    ``lax.cond`` inside one jitted program, so the common case pays zero
-    host round-trips and the result is ALWAYS value-exact — the same
-    recall-1.0 contract as ``mode='exact'`` at near-approx speed
-    (replaces the reference's lossy IVF pruning,
-    ``src/models/faiss_index.py:68-74,113``).
+    ``method='count'`` (default) runs :func:`_verified_topk` —
+    recall-targeted prefilter + count-above certificate, two full passes at
+    precision=HIGHEST. ``method='bound'`` runs :func:`_bound_verified_topk`
+    — ONE bf16-precision full pass + exact rescore of ``oversample*k``
+    candidates, certified by a rigorous rounding-error bound, with NO
+    HIGHEST-precision full-corpus matmul at all. Measured at (256q, 1M,
+    d=128) 'count' wins (22.4 vs 60 ms/batch): selecting the top ~2k
+    candidates the bound cert needs costs ~30 ms — ``approx_max_k``'s
+    PartialReduce degenerates once k reaches a few % of the row — which
+    swamps the 11->4.6 ms scoring-pass saving (RESULTS.md round-3 profile).
+    'bound' is the right tool when the scoring pass dominates instead:
+    high embedding dims (HIGHEST cost scales with d, selection cost does
+    not) or corpora stored in bf16 where no HIGHEST-grade full pass is
+    possible.
+
+    Only when ANY query's certificate fails is the whole batch recomputed
+    through the windowed exact path. The escalation is a ``lax.cond``
+    inside one jitted program, so the common case pays zero host
+    round-trips and the result is ALWAYS value-exact — the same recall-1.0
+    contract as ``mode='exact'`` at near-approx speed (replaces the
+    reference's lossy IVF pruning, ``src/models/faiss_index.py:68-74,113``).
 
     Note: ties at the k-th score may order differently than the windowed
     path; *values* are certified exact (see :func:`certify_topk`).
     """
-    vals, idx, exact = _verified_topk(
-        queries, item_embs, k, block_size, oversample, recall_target
-    )
+    n = item_embs.shape[0]
+    if method == "bound":
+        m = max(k + 512, oversample * k)
+        if m >= n:
+            ev, ei = _exact_topk(queries, item_embs, k)
+            return ev, ei.astype(jnp.int32)
+        vals, idx, exact = _bound_verified_topk(queries, item_embs, k, m)
+    elif method == "count":
+        vals, idx, exact = _verified_topk(
+            queries, item_embs, k, block_size, oversample, recall_target
+        )
+    else:
+        raise ValueError(f"unknown certified method {method!r}")
 
     def _keep(_):
         return vals, idx

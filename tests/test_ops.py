@@ -331,6 +331,117 @@ class TestCertifiedTopK:
         np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
         np.testing.assert_array_equal(np.asarray(i), idxn)
 
+    def test_bound_method_escalation(self, monkeypatch):
+        """method='bound' escalates through the same lax.cond when its
+        rounding-bound certificate fails."""
+        rng = np.random.default_rng(29)
+        # bound method needs n > k + 512 to engage the fast path
+        q = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(1301, 8)), jnp.float32)
+        k = 7
+
+        real = topk_mod._bound_verified_topk
+
+        def broken(queries, item_embs, kk, m):
+            v, i, _ = real(queries, item_embs, kk, m)
+            return v * 0 - 1.0, i * 0, jnp.zeros(v.shape[0], bool)
+
+        monkeypatch.setattr(topk_mod, "_bound_verified_topk", broken)
+        v, i = topk_mod.mips_topk_certified(q, items, k, method="bound")
+        vn, idxn = mips_topk_numpy(q, items, k)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+
+class TestBoundVerifiedTopK:
+    """Bound-certified exact search: ONE bf16 full pass + exact rescore of
+    the candidates, certified by a rigorous rounding-error bound — no
+    HIGHEST-precision full-corpus matmul anywhere."""
+
+    def test_dense_matches_numpy_when_certified(self):
+        rng = np.random.default_rng(41)
+        q = rng.normal(size=(8, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        items = rng.normal(size=(6000, 32)).astype(np.float32)
+        items /= np.linalg.norm(items, axis=1, keepdims=True)
+        v, i, ok = topk_mod.mips_topk_bound_verified(
+            jnp.asarray(q), jnp.asarray(items), 20, 512
+        )
+        # normalized random towers: score gaps at k=20 of 6k far exceed the
+        # bf16 bound — the certificate must pass and the result be exact
+        assert np.asarray(ok).all()
+        vn, idxn = mips_topk_numpy(q, items, 20)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_column_chunked_matches_numpy(self, monkeypatch):
+        """Force the multi-chunk scan branch (theta/eps merged globally)."""
+        monkeypatch.setattr(topk_mod, "_SCORE_BUDGET", 4 * 65536)
+        rng = np.random.default_rng(43)
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        items = rng.normal(size=(150_000, 16)).astype(np.float32)
+        items /= np.linalg.norm(items, axis=1, keepdims=True)
+        v, i, ok = topk_mod._bound_verified_topk(
+            jnp.asarray(q), jnp.asarray(items), 50, 1024
+        )
+        assert np.asarray(ok).all()
+        vn, idxn = mips_topk_numpy(q, items, 50)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-5, atol=1e-5)
+
+    def test_soundness_fuzz(self):
+        """The safety property: WHENEVER the certificate passes, the result
+        must be the true top-k — across seeds, scales, and distributions
+        (the bound must hold for arbitrary magnitudes, not just unit
+        norms)."""
+        for seed in range(8):
+            rng = np.random.default_rng(100 + seed)
+            scale = 10.0 ** rng.integers(-2, 3)
+            q = (rng.normal(size=(4, 24)) * scale).astype(np.float32)
+            items = (rng.normal(size=(3000, 24)) * scale).astype(np.float32)
+            v, i, ok = topk_mod._bound_verified_topk(
+                jnp.asarray(q), jnp.asarray(items), 10, 600
+            )
+            vn, idxn = mips_topk_numpy(q, items, 10)
+            ok = np.asarray(ok)
+            np.testing.assert_array_equal(
+                np.asarray(i)[ok], idxn[ok],
+                err_msg=f"certified-but-wrong at seed {seed}",
+            )
+
+    def test_adversarial_cluster_fails_cert_then_escalates(self):
+        """Scores clustered INSIDE the bf16 error bound: the certificate
+        must fail (it cannot distinguish the tail), and the certified
+        wrapper must escalate to the windowed exact path and still return
+        the true top-k."""
+        rng = np.random.default_rng(47)
+        base = rng.normal(size=(16,)).astype(np.float32)
+        base /= np.linalg.norm(base)
+        # 2000 items all nearly parallel to the query: true score gaps
+        # ~1e-5, far below the ~1e-2 bf16 bound
+        items = base[None, :] + 1e-5 * rng.normal(size=(2000, 16)).astype(
+            np.float32
+        )
+        q = jnp.asarray(base[None, :])
+        items_j = jnp.asarray(items)
+        k = 5
+        _, _, ok = topk_mod._bound_verified_topk(q, items_j, k, 600)
+        assert not np.asarray(ok).any(), "bound cert passed inside noise"
+        v, i = topk_mod.mips_topk_certified(q, items_j, k, method="bound")
+        vn, idxn = mips_topk_numpy(np.asarray(q), items, k)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-5, atol=1e-6)
+
+    def test_small_corpus_guard(self):
+        """m >= n: the certified wrapper must go straight to the exact
+        path (the prefilter cannot prune anything)."""
+        rng = np.random.default_rng(53)
+        q = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(300, 8)), jnp.float32)
+        v, i = topk_mod.mips_topk_certified(q, items, 10, method="bound")
+        vn, idxn = mips_topk_numpy(q, items, 10)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
     def test_degenerate_pruning_guard_stays_exact(self):
         """k large relative to the corpus: the windowed path must detect
         degenerate pruning, fall through to the chunked reduce, and stay
