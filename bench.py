@@ -239,6 +239,71 @@ def bench_serve_e2e(jnp, jax):
     }
 
 
+def bench_serve_e2e_large(jnp, jax):
+    """Fused serving at production corpus scale: embed → top-500 of 1M×128
+    (approx mode, measured recall 0.98 at this setting — RESULTS.md curve)
+    → assemble 50 feats → MLP rank → top-100, batched over 256 users.
+
+    The corpus and packed item table are passed as arguments (never jit
+    constants — the remote compiler rejects large constant payloads)."""
+    from recommendit_tpu.features.schema import assemble_packed_jnp
+    from recommendit_tpu.models.ranker import init_mlp, mlp_score
+    from recommendit_tpu.models.two_tower import init_params, user_tower
+    from recommendit_tpu.ops.topk import mips_topk
+
+    n_users, n_items, d, h = 6040, 1_000_000, 128, 128
+    batch, n_cand, k_out = 256, 500, 100
+    rng = np.random.default_rng(0)
+    params = init_params(jax.random.PRNGKey(0), n_users, 1, d, h)
+    item_embs = jnp.asarray(rng.normal(size=(n_items, d)), jnp.float32)
+    item_embs = item_embs / jnp.linalg.norm(item_embs, axis=1, keepdims=True)
+    user_packed = jnp.asarray(rng.normal(size=(n_users + 1, 24)), jnp.float32)
+    item_packed = jnp.asarray(
+        rng.normal(size=(n_items + 1, 23)), jnp.float32
+    )
+    rparams = init_mlp(jax.random.PRNGKey(1), 50, (128, 64))
+
+    def serve_batch(user_ids, item_embs, item_packed):
+        q = user_tower(params, user_ids)
+        rvals, pos = mips_topk(q, item_embs, n_cand, 65536, "approx")
+        cand = pos.astype(jnp.int32) + 1  # item ids are 1-based rows
+        u_vecs = jnp.take(user_packed, user_ids, axis=0)
+        feats = jax.vmap(
+            lambda uv, ci: assemble_packed_jnp(
+                uv, jnp.take(item_packed, ci, axis=0)
+            )
+        )(u_vecs, cand)
+        scores = mlp_score(rparams, feats)
+        top_scores, sel = jax.lax.top_k(scores, k_out)
+        return jnp.take_along_axis(cand, sel, axis=1), top_scores
+
+    u0 = rng.integers(1, n_users, size=batch)
+    uids0 = jnp.asarray(u0, jnp.int32)
+    iters = 30
+
+    @jax.jit
+    def run(uids0, item_embs, item_packed):
+        def body(i, carry):
+            uids, acc = carry
+            cand_ids, scores = serve_batch(uids, item_embs, item_packed)
+            return ((uids0 + cand_ids[:, 0] % 2).astype(jnp.int32),
+                    acc + scores[0, 0])
+        _, acc = jax.lax.fori_loop(0, iters, body, (uids0, jnp.float32(0)))
+        return acc
+
+    float(run(uids0, item_embs, item_packed))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(uids0, item_embs, item_packed))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return {
+        "serve_e2e_1M_users_per_s": batch / dt,
+        "serve_e2e_1M_batch256_ms": dt * 1000,
+    }
+
+
 def bench_bpr_train(jnp, jax):
     import functools
 
@@ -363,6 +428,13 @@ def main():
     results.update(bench_serve_e2e(jnp, jax))
     log(f"serve e2e: {results['serve_e2e_users_per_s']:.0f} users/s "
         f"(batch256 {results['serve_e2e_batch256_ms']:.2f} ms)")
+    try:
+        results.update(bench_serve_e2e_large(jnp, jax))
+        log(f"serve e2e 1M x 128: "
+            f"{results['serve_e2e_1M_users_per_s']:.0f} users/s "
+            f"(batch256 {results['serve_e2e_1M_batch256_ms']:.2f} ms)")
+    except Exception as e:  # never let the at-scale row kill the headline
+        log(f"serve e2e 1M skipped: {e}")
 
     Path("bench_details.json").write_text(json.dumps(results, indent=2))
 

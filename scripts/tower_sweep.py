@@ -95,8 +95,8 @@ def run_one(name, seed, args):
         s = seen_train.get(u, ())
         return [int(i) for i in ordered_ids if i not in s][:k]
 
-    model = TwoTowerModel.load(cfg.EMBEDDING_MODEL_PATH)
-    index = MIPSIndex.load(cfg.INDEX_PATH)
+    model = TwoTowerModel.load(orch.cfg.EMBEDDING_MODEL_PATH)
+    index = MIPSIndex.load(orch.cfg.INDEX_PATH)
     known = [u for u in users if 1 <= u <= model.n_users]
     q = np.stack([model.get_user_embedding(u) for u in known])
     k_search = (min(cfg.TOP_K_CANDIDATES, index.n_total)
