@@ -121,6 +121,26 @@ _WINDOW = 64           # items per window in the window-max exact scheme
 _SCORE_BUDGET = 320 * 1024 * 1024  # max Q*N f32 score entries per column chunk
 
 
+def canonical_tie_order(vals: jnp.ndarray, idxs: jnp.ndarray):
+    """Reorder each row's top-k into (value desc, index asc) order.
+
+    Distinct items DO collide at exactly the same f32 score on real
+    corpora (pigeonhole: a trained 62k-item catalog packs its scores into
+    a ~[-0.3, 0.3] band with only ~2e7 representable f32s — the round-3
+    quality-at-scale run hit ~12 such ties per 256-query batch), and the
+    order ties come back in is merge-path-dependent: the ring merge's
+    rotation-dependent concatenation ordered them differently than the
+    single-device windowed scan. Canonicalizing makes every exact path
+    element-identical (and identical to numpy's stable ``argsort(-s)``)
+    wherever the returned SETS agree; only distinct items tying exactly at
+    the k-th score remain set-ambiguous — values are still identical there.
+    O(k log k) per row on the already-selected candidates (~µs at k=500).
+    """
+    order = jnp.lexsort((idxs, -vals), axis=-1)
+    return (jnp.take_along_axis(vals, order, axis=-1),
+            jnp.take_along_axis(idxs, order, axis=-1))
+
+
 def _chunked_exact_reduce(scores, k: int):
     """Exact top-k along the last axis, avoiding the PartialReduce wide-row
     cliff: reduce in <=16k-wide chunks, then exact-merge the chunk winners
@@ -503,7 +523,9 @@ def mips_topk_certified(
         ev, ei = _exact_topk(queries, item_embs, k)
         return ev, ei.astype(idx.dtype)
 
-    return jax.lax.cond(jnp.all(exact), _keep, _escalate, operand=None)
+    return canonical_tie_order(
+        *jax.lax.cond(jnp.all(exact), _keep, _escalate, operand=None)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -536,7 +558,7 @@ def mips_topk(
     if k > n:
         raise ValueError(f"k={k} exceeds corpus size {n}")
     if mode == "exact":
-        return _exact_topk(queries, item_embs, k)
+        return canonical_tie_order(*_exact_topk(queries, item_embs, k))
     if mode != "approx":
         # 'verified' lives in mips_topk_certified (3 outputs / cond
         # escalation); anything else is a typo — never silently degrade
@@ -639,7 +661,9 @@ def mips_topk_int8(
     q_i8, q_scale = _quantize_queries(queries)
 
     if mode != "approx":
-        return _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
+        return canonical_tie_order(
+            *_exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
+        )
 
     bs = min(block_size, n)
     n_blocks = -(-n // bs)
@@ -680,6 +704,8 @@ def mips_topk_numpy(queries, item_embs, k: int):
     import numpy as np
 
     scores = np.asarray(queries, np.float64) @ np.asarray(item_embs, np.float64).T
-    idx = np.argsort(-scores, axis=1)[:, :k]
+    # stable sort -> score-tied items come back index-ascending, matching
+    # canonical_tie_order's (value desc, index asc) contract
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     vals = np.take_along_axis(scores, idx, axis=1)
     return vals.astype(np.float32), idx.astype(np.int32)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from recommendit_tpu.ops.topk import fast_topk, mips_topk
+from recommendit_tpu.ops.topk import canonical_tie_order, fast_topk, mips_topk
 from recommendit_tpu.parallel.mesh import MODEL_AXIS
 
 
@@ -45,7 +45,11 @@ def _allgather_merge(queries, items_shard, k, block_size, axis):
     all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
     mvals, sel = fast_topk(all_vals, k)
     midx = jnp.take_along_axis(all_idx, sel, axis=1)
-    return mvals, midx
+    # score-tied items across shards must come back in the same order the
+    # single-device scan returns them (canonical: value desc, index asc) —
+    # real corpora produce exact f32 score ties (ops/topk.py
+    # canonical_tie_order docstring)
+    return canonical_tie_order(mvals, midx)
 
 
 def sharded_mips_topk(
@@ -96,7 +100,12 @@ def _ring_merge(queries, items_shard, k, block_size, axis):
     (run_v, run_i, _, _), _ = jax.lax.scan(
         step, (vals, gidx, vals, gidx), None, length=s - 1
     )
-    return run_v, run_i
+    # every member of a tie-group whose value beats the global k-th value
+    # survives each running 2k-wide merge regardless of tie order, so
+    # canonicalizing the FINAL list is sufficient for element-identity
+    # with the single-device path (k-th-score ties excepted — values are
+    # identical there)
+    return canonical_tie_order(run_v, run_i)
 
 
 def sharded_mips_topk_ring(

@@ -192,6 +192,25 @@ class TestWindowedExact:
             assert len(set(idx.tolist())) == k
             np.testing.assert_array_equal(s[r, idx], np.asarray(v)[r])
 
+    def test_canonical_tie_order_matches_numpy(self):
+        """mips_topk(mode='exact') must order score-tied items canonically
+        (value desc, index asc) — element-identical to numpy's stable
+        argsort — so every exact path (single-device, int8, certified,
+        sharded merges) agrees under the real-corpus f32 ties that the
+        quality-at-scale run surfaced."""
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(32, 8)).astype(np.float32)
+        items = np.repeat(base, 8, axis=0)          # tie groups of 8
+        items = items[rng.permutation(len(items))]  # scatter the groups
+        q = rng.normal(size=(4, 8)).astype(np.float32)
+        k = 24  # three full tie groups -> boundary is set-unambiguous
+        v, i = jax.jit(
+            lambda a, b: topk_mod.mips_topk(a, b, k, 64)
+        )(jnp.asarray(q), jnp.asarray(items))
+        vn, idxn = topk_mod.mips_topk_numpy(q, items, k)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
     def test_chunked_reduce_matches(self):
         rng = np.random.default_rng(9)
         s = jnp.asarray(rng.normal(size=(4, 50_000)), jnp.float32)

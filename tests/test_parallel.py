@@ -76,6 +76,27 @@ class TestShardedRetrieval:
         np.testing.assert_allclose(np.asarray(vals), vn, rtol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx), idxn)
 
+    @pytest.mark.parametrize("fn", [sharded_mips_topk, sharded_mips_topk_ring])
+    def test_tied_scores_match_single_device(self, mesh, fn):
+        """Exact f32 score ties across shards (real corpora produce them —
+        round-3 quality-at-scale hit ~12/batch at 62k items) must come back
+        in the canonical (value desc, index asc) order on every path."""
+        rng = np.random.default_rng(4)
+        base = rng.normal(size=(64, 16)).astype(np.float32)
+        # each row duplicated 8x, shuffled -> duplicates land on different
+        # shards; every top-k boundary then sits inside a tie group
+        items = np.repeat(base, 8, axis=0)
+        perm = rng.permutation(512)
+        items = items[perm]
+        q = rng.normal(size=(8, 16)).astype(np.float32)
+        items_dev = jax.device_put(jnp.asarray(items), row_sharded(mesh))
+        # k=24 = 3 full tie-groups of 8: the k-th score's whole group is
+        # included, so even the boundary is set-unambiguous here
+        vals, idx = fn(jnp.asarray(q), items_dev, 24, mesh, block_size=64)
+        vn, idxn = mips_topk_numpy(q, items, 24)
+        np.testing.assert_allclose(np.asarray(vals), vn, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), idxn)
+
     def test_k_larger_than_shard(self, mesh):
         """k > rows-per-shard exercises the per-shard padding path."""
         rng = np.random.default_rng(3)
