@@ -465,7 +465,7 @@ def mips_topk_verified(
                           recall_target)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def mips_topk_certified(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -474,6 +474,7 @@ def mips_topk_certified(
     oversample: int = 4,
     recall_target: float = 0.95,
     method: str = "count",
+    canonical: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Certified-exact top-k: verified fast path with automatic escalation.
 
@@ -507,7 +508,8 @@ def mips_topk_certified(
         m = max(k + 512, oversample * k)
         if m >= n:
             ev, ei = _exact_topk(queries, item_embs, k)
-            return ev, ei.astype(jnp.int32)
+            ev, ei = (ev, ei.astype(jnp.int32))
+            return canonical_tie_order(ev, ei) if canonical else (ev, ei)
         vals, idx, exact = _bound_verified_topk(queries, item_embs, k, m)
     elif method == "count":
         vals, idx, exact = _verified_topk(
@@ -523,18 +525,18 @@ def mips_topk_certified(
         ev, ei = _exact_topk(queries, item_embs, k)
         return ev, ei.astype(idx.dtype)
 
-    return canonical_tie_order(
-        *jax.lax.cond(jnp.all(exact), _keep, _escalate, operand=None)
-    )
+    out = jax.lax.cond(jnp.all(exact), _keep, _escalate, operand=None)
+    return canonical_tie_order(*out) if canonical else out
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def mips_topk(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
     k: int,
     block_size: int = 4096,
     mode: str = "exact",
+    canonical: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over the item corpus.
 
@@ -549,6 +551,13 @@ def mips_topk(
             exact by construction at any corpus size, no recall knob.
             'approx' — recall-0.95 partial reduce at default (fast bf16)
             matmul precision.
+        canonical: reorder score-tied items into the deterministic
+            (value desc, index asc) order (see
+            :func:`canonical_tie_order`). Off by default: TPU sorts are
+            slow (the lexsort costs ~1.4 ms at (256, 500) — 2x the entire
+            ML-1M exact scan), and any tie completion is equally exact;
+            turn on where cross-path element-identity matters (tests,
+            sharded-vs-single-device checks, reproducibility audits).
 
     Returns:
         (values (Q, k), indices (Q, k)) sorted descending per query.
@@ -558,7 +567,8 @@ def mips_topk(
     if k > n:
         raise ValueError(f"k={k} exceeds corpus size {n}")
     if mode == "exact":
-        return canonical_tie_order(*_exact_topk(queries, item_embs, k))
+        vals, idx = _exact_topk(queries, item_embs, k)
+        return canonical_tie_order(vals, idx) if canonical else (vals, idx)
     if mode != "approx":
         # 'verified' lives in mips_topk_certified (3 outputs / cond
         # escalation); anything else is a typo — never silently degrade
@@ -632,7 +642,7 @@ def _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k):
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def mips_topk_int8(
     queries: jnp.ndarray,       # (Q, D) f32
     items_i8: jnp.ndarray,      # (N, D) int8 (per-row symmetric quant)
@@ -640,6 +650,7 @@ def mips_topk_int8(
     k: int,
     block_size: int = 4096,
     mode: str = "exact",
+    canonical: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an int8-quantized corpus.
 
@@ -661,9 +672,8 @@ def mips_topk_int8(
     q_i8, q_scale = _quantize_queries(queries)
 
     if mode != "approx":
-        return canonical_tie_order(
-            *_exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
-        )
+        vals, idx = _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
+        return canonical_tie_order(vals, idx) if canonical else (vals, idx)
 
     bs = min(block_size, n)
     n_blocks = -(-n // bs)

@@ -39,17 +39,17 @@ def _local_topk(queries, items_shard, k: int, block_size: int, axis: str):
     return vals, gidx
 
 
-def _allgather_merge(queries, items_shard, k, block_size, axis):
+def _allgather_merge(queries, items_shard, k, block_size, axis, canonical):
     vals, gidx = _local_topk(queries, items_shard, k, block_size, axis)
     all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)   # (Q, S*k)
     all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
     mvals, sel = fast_topk(all_vals, k)
     midx = jnp.take_along_axis(all_idx, sel, axis=1)
-    # score-tied items across shards must come back in the same order the
-    # single-device scan returns them (canonical: value desc, index asc) —
-    # real corpora produce exact f32 score ties (ops/topk.py
-    # canonical_tie_order docstring)
-    return canonical_tie_order(mvals, midx)
+    # canonical=True: score-tied items across shards come back in the same
+    # (value desc, index asc) order as mips_topk(canonical=True) — real
+    # corpora produce exact f32 score ties (ops/topk.py
+    # canonical_tie_order docstring); off by default, TPU sorts are slow
+    return canonical_tie_order(mvals, midx) if canonical else (mvals, midx)
 
 
 def sharded_mips_topk(
@@ -59,6 +59,7 @@ def sharded_mips_topk(
     mesh: Mesh,
     block_size: int = 4096,
     axis: str = MODEL_AXIS,
+    canonical: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a corpus row-sharded on ``axis``.
 
@@ -66,11 +67,16 @@ def sharded_mips_topk(
         queries: (Q, D), replicated.
         item_embs: (N, D), shardable as P(axis, None); N must divide the
             axis size.
+        canonical: deterministic (value desc, index asc) tie order,
+            element-identical to ``mips_topk(canonical=True)`` — see
+            ``ops.topk.canonical_tie_order`` for when ties actually occur
+            and why this is opt-in.
     Returns replicated (values (Q, k), global indices (Q, k)).
     """
     fn = shard_map(
         functools.partial(
-            _allgather_merge, k=k, block_size=block_size, axis=axis
+            _allgather_merge, k=k, block_size=block_size, axis=axis,
+            canonical=canonical,
         ),
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
@@ -80,7 +86,7 @@ def sharded_mips_topk(
     return fn(queries, item_embs)
 
 
-def _ring_merge(queries, items_shard, k, block_size, axis):
+def _ring_merge(queries, items_shard, k, block_size, axis, canonical):
     """Ring variant: pass each shard's candidate block around the ring,
     merging into a running top-k — (Q, k) in flight per step."""
     s = jax.lax.axis_size(axis)
@@ -105,7 +111,7 @@ def _ring_merge(queries, items_shard, k, block_size, axis):
     # canonicalizing the FINAL list is sufficient for element-identity
     # with the single-device path (k-th-score ties excepted — values are
     # identical there)
-    return canonical_tie_order(run_v, run_i)
+    return canonical_tie_order(run_v, run_i) if canonical else (run_v, run_i)
 
 
 def sharded_mips_topk_ring(
@@ -115,10 +121,12 @@ def sharded_mips_topk_ring(
     mesh: Mesh,
     block_size: int = 4096,
     axis: str = MODEL_AXIS,
+    canonical: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ring-merge form of :func:`sharded_mips_topk` (same results)."""
     fn = shard_map(
-        functools.partial(_ring_merge, k=k, block_size=block_size, axis=axis),
+        functools.partial(_ring_merge, k=k, block_size=block_size, axis=axis,
+                          canonical=canonical),
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
         out_specs=(P(), P()),

@@ -165,11 +165,22 @@ def main():
     ):
         call = jax.jit(lambda a, b, _f=fn: _f(a, b, k, mesh, 4096))
         v, i = call(qd, ed)
+
+        def _canon(vv, ii):
+            # host-side canonical (value desc, index asc) tie order — the
+            # device paths keep canonical=False so the TIMED rows measure
+            # the production configuration (TPU sorts are slow)
+            order = np.lexsort((ii, -vv), axis=-1)
+            return (np.take_along_axis(vv, order, axis=-1),
+                    np.take_along_axis(ii, order, axis=-1))
+
+        cv, ci = _canon(np.asarray(v), np.asarray(i))
+        rv, ri = _canon(np.asarray(ref_v), np.asarray(ref_i))
         # canonical tie order makes paths element-identical except when
         # distinct items tie EXACTLY at the k-th f32 score — there the sets
         # may legitimately differ, but the values must still be identical
-        mism = np.asarray(i) != np.asarray(ref_i)
-        vals_equal = np.asarray(v) == np.asarray(ref_v)
+        mism = ci != ri
+        vals_equal = cv == rv
         assert bool(vals_equal.all()), \
             f"sharded {name} values diverged from single-device"
         assert bool((~mism | vals_equal).all()), \

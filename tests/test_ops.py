@@ -205,7 +205,7 @@ class TestWindowedExact:
         q = rng.normal(size=(4, 8)).astype(np.float32)
         k = 24  # three full tie groups -> boundary is set-unambiguous
         v, i = jax.jit(
-            lambda a, b: topk_mod.mips_topk(a, b, k, 64)
+            lambda a, b: topk_mod.mips_topk(a, b, k, 64, "exact", True)
         )(jnp.asarray(q), jnp.asarray(items))
         vn, idxn = topk_mod.mips_topk_numpy(q, items, k)
         np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)

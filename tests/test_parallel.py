@@ -92,7 +92,8 @@ class TestShardedRetrieval:
         items_dev = jax.device_put(jnp.asarray(items), row_sharded(mesh))
         # k=24 = 3 full tie-groups of 8: the k-th score's whole group is
         # included, so even the boundary is set-unambiguous here
-        vals, idx = fn(jnp.asarray(q), items_dev, 24, mesh, block_size=64)
+        vals, idx = fn(jnp.asarray(q), items_dev, 24, mesh, block_size=64,
+                       canonical=True)
         vn, idxn = mips_topk_numpy(q, items, 24)
         np.testing.assert_allclose(np.asarray(vals), vn, rtol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx), idxn)
