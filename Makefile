@@ -13,7 +13,8 @@ MESH_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_h
 
 .PHONY: help data features load-features embeddings index ranker evaluate \
         train all serve test test-features test-models test-api test-parallel \
-        test-coverage bench dryrun lint format clean native
+        test-coverage bench dryrun lint format type-check clean native \
+        docker-up docker-down docker-build docker-logs docker-restart
 
 help:
 	@grep -E '^[a-z-]+:' Makefile | sed 's/:.*//' | sort -u
@@ -79,12 +80,37 @@ bench:
 dryrun:
 	$(MESH_ENV) $(PY) __graft_entry__.py dryrun 8
 
+# ---- docker lifecycle (reference Makefile:93-110) --------------------- #
+docker-up:
+	docker compose up -d
+	@echo "Services started:"
+	@echo "  API:        http://localhost:8000"
+	@echo "  Prometheus: http://localhost:9090"
+	@echo "  Grafana:    http://localhost:3000 (admin/admin)"
+
+docker-down:
+	docker compose down
+
+docker-build:
+	docker compose build --no-cache
+
+docker-logs:
+	docker compose logs -f api
+
+docker-restart:
+	docker compose restart api
+
 # ---- hygiene ---------------------------------------------------------- #
 lint:
 	$(PY) -m ruff check recommendit_tpu/ tests/ || true
 
 format:
 	$(PY) -m ruff format recommendit_tpu/ tests/ || true
+
+type-check:
+	@$(PY) -c "import mypy" 2>/dev/null \
+	  && $(PY) -m mypy recommendit_tpu/ --ignore-missing-imports \
+	  || $(PY) -m compileall -q recommendit_tpu/  # fallback: syntax check
 
 clean:
 	rm -rf __pycache__ .pytest_cache bench_details.json

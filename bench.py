@@ -24,6 +24,29 @@ import numpy as np
 
 BASELINE_RETRIEVAL_QPS = 1000.0 / 6.0  # reference 6ms p50 top-500
 
+# TPU v5e (v5 lite) peak specs — roofline context for every metric.
+# f32-input matmuls still ride the MXU; we report the bf16 compute roof as
+# the (optimistic) ceiling, so sol_*_pct is a conservative lower bound on
+# how close to speed-of-light each measurement is.
+PEAK_HBM_GBPS = 819.0
+PEAK_BF16_TFLOPS = 197.0
+
+
+def speed_of_light(results, name, measured_ms, flops, hbm_bytes):
+    """Attach roofline context: the floor time implied by the compute and
+    HBM roofs for the declared FLOP/traffic model, which roof binds, and
+    the fraction of that floor actually achieved ("floor %").
+
+    The traffic model counts MANDATORY HBM bytes only (inputs that cannot
+    stay resident + outputs); intermediates that XLA may or may not
+    materialize are excluded, so the floor is a true lower bound."""
+    t_mem_ms = hbm_bytes / (PEAK_HBM_GBPS * 1e9) * 1e3
+    t_cmp_ms = flops / (PEAK_BF16_TFLOPS * 1e12) * 1e3
+    floor_ms = max(t_mem_ms, t_cmp_ms)
+    results[f"sol_{name}_floor_ms"] = floor_ms
+    results[f"sol_{name}_pct"] = round(100.0 * floor_ms / measured_ms, 1)
+    results[f"sol_{name}_bound"] = "hbm" if t_mem_ms >= t_cmp_ms else "mxu"
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -67,11 +90,15 @@ def device_loop_time(jax, jnp, step, q0, *args, iters: int = 50,
         _, acc = jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))
         return acc
 
-    float(run(q0, *args))  # compile + warm
+    acc = float(run(q0, *args))  # compile + warm
     best = 1e9
     for _ in range(rounds):
+        # chain ROUNDS too: each timed round's input depends on the
+        # previous round's returned scalar, so no outer invocation is
+        # bit-identical to the warm-up (whole-run memoization guard)
+        q0 = q0 + jnp.asarray(1e-6 * (acc % 1.0), q0.dtype)
         t0 = time.perf_counter()
-        float(run(q0, *args))
+        acc = float(run(q0, *args))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -114,14 +141,29 @@ def bench_retrieval(jnp, jax):
         rounds.append(lat)
         all_lat += lat
     best = min(rounds, key=lambda r: float(np.percentile(r, 50)))
-    return {
+    out = {
         "retrieval_qps_top500": qps,
         "retrieval_batch256_ms": dt_iter * 1000,
-        "retrieval_single_query_p50_ms": float(np.percentile(best, 50)),
+        # provenance is in the key names: _best_round_ = median of the
+        # least-congested 25-call round; _all_rounds_/p99/min span all 75
+        # calls (so p50_best_round may legally sit below p50_all_rounds)
+        "retrieval_single_query_p50_best_round_ms":
+            float(np.percentile(best, 50)),
+        "retrieval_single_query_p50_all_rounds_ms":
+            float(np.percentile(all_lat, 50)),
         "retrieval_single_query_p99_ms": float(np.percentile(all_lat, 99)),
         # the min over all varied calls is the congestion-free floor
         "retrieval_single_query_min_ms": float(np.min(all_lat)),
     }
+    # roofline: corpus + queries read, top-k values+indices written. The
+    # tiny 1 MB corpus means this shape is overhead-bound by construction —
+    # a low floor % here is expected, not a defect (see 1M rows for the
+    # bandwidth-limited regime).
+    speed_of_light(out, "retrieval_ml1m", dt_iter * 1000,
+                   flops=2 * batch * n_items * dim,
+                   hbm_bytes=4 * (n_items * dim + batch * dim
+                                  + 2 * batch * k))
+    return out
 
 
 def bench_dispatch_rtt(jnp, jax):
@@ -167,6 +209,14 @@ def bench_retrieval_large(jnp, jax):
         dt_iter = device_loop_time(jax, jnp, fn, q0, items, iters=30)
         out[f"retrieval_1M_dim128_{name}_qps"] = batch / dt_iter
         out[f"retrieval_1M_dim128_{name}_batch_ms"] = dt_iter * 1000
+        # mandatory traffic: 512 MB corpus read + queries + k out; the
+        # scores intermediate (1 GB if materialized) is NOT mandatory —
+        # closing the gap to this floor is exactly what fusing the
+        # reduction into the matmul buys (docs/KERNELS.md)
+        speed_of_light(out, f"retrieval_1M_{name}", dt_iter * 1000,
+                       flops=2 * batch * n_items * dim,
+                       hbm_bytes=4 * (n_items * dim + batch * dim
+                                      + 2 * batch * k))
 
     # exactness spot check: exact mode must be element-identical to the
     # f64 numpy reference on this corpus
@@ -234,11 +284,16 @@ def bench_serve_e2e(jnp, jax):
         _, acc = jax.lax.fori_loop(0, iters, body, (uids0, jnp.float32(0)))
         return acc
 
-    float(run(uids0))
+    acc = float(run(uids0))
     best = 1e9
     for _ in range(3):
+        # chain rounds: derive each round's user ids from the previous
+        # round's returned scalar so no outer call repeats the warm-up
+        # input bit-for-bit (remote-runtime memoization guard)
+        uids0 = ((uids0 + jnp.int32(1 + int(abs(acc)) % 97))
+                 % (n_users - 1) + 1).astype(jnp.int32)
         t0 = time.perf_counter()
-        float(run(uids0))
+        acc = float(run(uids0))
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     return {
@@ -299,17 +354,28 @@ def bench_serve_e2e_large(jnp, jax):
         _, acc = jax.lax.fori_loop(0, iters, body, (uids0, jnp.float32(0)))
         return acc
 
-    float(run(uids0, item_embs, item_packed))
+    acc = float(run(uids0, item_embs, item_packed))
     best = 1e9
     for _ in range(3):
+        # chained rounds — see bench_serve_e2e
+        uids0 = ((uids0 + jnp.int32(1 + int(abs(acc)) % 97))
+                 % (n_users - 1) + 1).astype(jnp.int32)
         t0 = time.perf_counter()
-        float(run(uids0, item_embs, item_packed))
+        acc = float(run(uids0, item_embs, item_packed))
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
-    return {
+    out = {
         "serve_e2e_1M_users_per_s": batch / dt,
         "serve_e2e_1M_batch256_ms": dt * 1000,
     }
+    # mandatory traffic: corpus scan + packed-feature gather for the 500
+    # candidates per user; ranker MLP flops on 50 features
+    mlp_flops = 2 * batch * n_cand * (50 * 128 + 128 * 64 + 64)
+    speed_of_light(out, "serve_1M", dt * 1000,
+                   flops=2 * batch * n_items * d + mlp_flops,
+                   hbm_bytes=4 * (n_items * d
+                                  + batch * n_cand * (23 + 1)))
+    return out
 
 
 def bench_bpr_train(jnp, jax):
@@ -376,10 +442,21 @@ def bench_bpr_train(jnp, jax):
         jax.block_until_ready(loss)
         per_call.append(time.perf_counter() - t0)
     dt = float(np.median(per_call))
-    return {
+    out = {
         "bpr_examples_per_s_per_chip": steps_per_call * b / dt,
         "bpr_step_ms": dt / steps_per_call * 1000,
     }
+    # FLOP model: both tower MLPs fwd + BxB logits, x3 for backward;
+    # traffic model: adamw touches 6 floats per parameter (read+write of
+    # p/m/v) — at ML-1M table sizes the step is overhead-bound, which the
+    # low floor % makes visible
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    step_flops = 3 * (2 * 2 * b * 2 * d * h + 2 * b * b * d)
+    step_bytes = 6 * 4 * n_params + 4 * 2 * b * (d + 18)
+    speed_of_light(out, "bpr_step", dt / steps_per_call * 1000,
+                   step_flops, step_bytes)
+    return out
 
 
 def _probe_device(timeout_s: float = 300.0) -> bool:
@@ -423,15 +500,21 @@ def main():
     results.update(bench_retrieval(jnp, jax))
     log(f"retrieval: {results['retrieval_qps_top500']:.0f} qps "
         f"(batch256 {results['retrieval_batch256_ms']:.2f} ms, "
-        f"1-query p50 {results['retrieval_single_query_p50_ms']:.2f} ms)")
+        f"1-query p50 "
+        f"{results['retrieval_single_query_p50_best_round_ms']:.2f} ms, "
+        f"floor {results['sol_retrieval_ml1m_pct']}% of "
+        f"{results['sol_retrieval_ml1m_bound']} roof)")
     results.update(bench_bpr_train(jnp, jax))
     log(f"bpr train: {results['bpr_examples_per_s_per_chip']:.0f} ex/s "
-        f"({results['bpr_step_ms']:.2f} ms/step @1024)")
+        f"({results['bpr_step_ms']:.2f} ms/step @1024, "
+        f"floor {results['sol_bpr_step_pct']}%)")
     results.update(bench_retrieval_large(jnp, jax))
     log(f"retrieval 1M x 128: exact "
-        f"{results['retrieval_1M_dim128_exact_qps']:.0f} qps, verified "
+        f"{results['retrieval_1M_dim128_exact_qps']:.0f} qps "
+        f"({results['sol_retrieval_1M_exact_pct']}% of hbm roof), verified "
         f"{results['retrieval_1M_dim128_verified_qps']:.0f}, approx "
-        f"{results['retrieval_1M_dim128_approx_qps']:.0f}, full+approx "
+        f"{results['retrieval_1M_dim128_approx_qps']:.0f} "
+        f"({results['sol_retrieval_1M_approx_pct']}%), full+approx "
         f"{results['retrieval_1M_dim128_full_approx_qps']:.0f}")
     results.update(bench_serve_e2e(jnp, jax))
     log(f"serve e2e: {results['serve_e2e_users_per_s']:.0f} users/s "
@@ -440,7 +523,8 @@ def main():
         results.update(bench_serve_e2e_large(jnp, jax))
         log(f"serve e2e 1M x 128: "
             f"{results['serve_e2e_1M_users_per_s']:.0f} users/s "
-            f"(batch256 {results['serve_e2e_1M_batch256_ms']:.2f} ms)")
+            f"(batch256 {results['serve_e2e_1M_batch256_ms']:.2f} ms, "
+            f"floor {results['sol_serve_1M_pct']}%)")
     except Exception as e:  # never let the at-scale row kill the headline
         log(f"serve e2e 1M skipped: {e}")
 

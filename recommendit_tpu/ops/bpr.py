@@ -106,8 +106,8 @@ def _bpr_fwd(user_emb, item_emb, block_rows, interpret):
     )
 
 
-def _bpr_bwd(block_rows, interpret, res, g):
-    u, v = res
+def _bpr_bwd_xla(u, v, g):
+    """XLA backward (correctness reference; materializes (B,B) twice)."""
     b = u.shape[0]
     scores = jnp.dot(u, v.T, preferred_element_type=jnp.float32)
     pos = jnp.diagonal(scores)
@@ -118,6 +118,95 @@ def _bpr_bwd(block_rows, interpret, res, g):
     du = (g * grad_s) @ v
     dv = (g * grad_s).T @ u
     return du.astype(u.dtype), dv.astype(v.dtype)
+
+
+def _bpr_bwd_kernel(u_blk_ref, v_ref, u_full_ref, du_ref, dv_ref):
+    """One i-block of the backward: recompute scores on the MXU, weight
+    with σ(−m), emit this block's du and accumulate the full dv — the
+    (B,B) sigmoid matrix lives only in VMEM (the XLA VJP's remaining
+    HBM traffic, docs/KERNELS.md "remaining headroom").
+
+    du_i = Σ_{j≠i} σ_ij v_j − (Σ_{j≠i} σ_ij) v_i
+    dv_j = Σ_{i≠j} σ_ij u_i − (Σ_{k≠j} σ_jk) u_j   (second term applied
+          by the grid step owning row j)
+    Scaling by g/(B(B−1)) happens host-side on the small outputs.
+    """
+    grid_step = pl.program_id(0)
+    blk = u_blk_ref.shape[0]
+    b = v_ref.shape[0]
+
+    scores = jnp.dot(
+        u_blk_ref[:], v_ref[:].T, preferred_element_type=jnp.float32
+    )  # (blk, B)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, b), dimension=1)
+    row_global = grid_step * blk + jax.lax.broadcasted_iota(
+        jnp.int32, (blk, b), dimension=0
+    )
+    diag = col_ids == row_global
+    pos = jnp.sum(jnp.where(diag, scores, 0.0), axis=1, keepdims=True)
+    sig = jax.nn.sigmoid(scores - pos)          # σ(−m_ij)
+    sig = jnp.where(diag, 0.0, sig)             # zero the diagonal
+    rowsum = jnp.sum(sig, axis=1, keepdims=True)  # (blk, 1)
+
+    v_blk = v_ref[pl.ds(grid_step * blk, blk), :]
+    du_ref[:] = (
+        jnp.dot(sig, v_ref[:], preferred_element_type=jnp.float32)
+        - rowsum * v_blk
+    )
+
+    @pl.when(grid_step == 0)
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    dv_ref[:] += jax.lax.dot_general(
+        sig, u_blk_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),  # sigᵀ @ u_blk
+        preferred_element_type=jnp.float32,
+    )
+    u_blk = u_full_ref[pl.ds(grid_step * blk, blk), :]
+    dv_ref[pl.ds(grid_step * blk, blk), :] += -rowsum * u_blk
+
+
+def _bpr_bwd_pallas(u, v, g, block_rows: int, interpret: bool):
+    b, d = u.shape
+    blk = min(block_rows, b)
+    if b % blk:
+        # ragged tail: the dv tail write would clamp out-of-bounds on
+        # TPU (dynamic-slice semantics); the XLA backward handles it
+        return _bpr_bwd_xla(u, v, g)
+    grid = pl.cdiv(b, blk)
+    du, dv = pl.pallas_call(
+        _bpr_bwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map → the dv block persists in VMEM across
+            # grid steps and accumulates
+            pl.BlockSpec((b, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u, v, u)
+    scale = g / (b * (b - 1))
+    return (du * scale).astype(u.dtype), (dv * scale).astype(v.dtype)
+
+
+def _bpr_bwd(block_rows, interpret, res, g):
+    u, v = res
+    return _bpr_bwd_pallas(u, v, g, block_rows, interpret)
 
 
 in_batch_bpr_pallas.defvjp(_bpr_fwd, _bpr_bwd)

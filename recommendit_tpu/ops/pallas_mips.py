@@ -165,3 +165,231 @@ def mips_topk_fused(
     vals, sel = fast_topk(cand_vals, k)
     idx = jnp.take_along_axis(cand_idx, sel, axis=1)
     return vals, idx
+
+
+# --------------------------------------------------------------------- #
+# Window-segment kernel (round 4) — the Mosaic-safe restructuring.
+#
+# The fold kernel above slices the LANE dimension at successively halved
+# widths (1024, 512, …, 64); widths below the 128-lane tile are exactly
+# where Mosaic's `limits[i] <= dim(i)` check aborts. This variant never
+# slices lanes at all:
+#   * scores (Q, BN) are reshaped to (Q, BN/W, W) with W=128 — a
+#     minor-dim split at exactly the lane width, which lowers cleanly;
+#   * the segment max is ONE reduction over the last axis (VPU);
+#   * the window-local argmax is ONE select against a broadcasted_iota
+#     plus a min-reduction — no select chains, no index accumulator.
+# Only (Q, N/W) window maxima + argmax positions reach HBM: 1/W of the
+# score-matrix traffic that makes the XLA dense path HBM-bound
+# (docs/KERNELS.md). Replaces the FAISS IVF probe capability
+# (/root/reference/src/models/faiss_index.py:113) at full-corpus scan
+# speed with the same "recall knob" role as n_probe.
+# --------------------------------------------------------------------- #
+
+_LANE = 128
+
+
+def _window_kernel(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
+                   n_windows: int, n_queries: int):
+    """One item block: fused matmul + per-window max and argmax."""
+    scores = jax.lax.dot_general(
+        q_ref[:], items_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, BN); padded items carry -3e38 via the bias coordinate
+    s3 = scores.reshape(n_queries, n_windows, window)
+    smax = jnp.max(s3, axis=-1)                         # (Q, BN/W)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    # first-occurrence argmax: smallest lane index attaining the max
+    arg = jnp.min(
+        jnp.where(s3 >= smax[..., None], lane, window), axis=-1
+    )
+    vals_ref[:] = smax
+    arg_ref[:] = arg
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mips_topk_window(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_items: int = 16384,
+    window: int = _LANE,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Window-segment fused MIPS top-k (reduction factor = ``window``).
+
+    Args:
+        queries: (Q, D) float32/bf16.
+        item_embs: (N, D).
+        k: results per query (requires k <= N/window after padding).
+        block_items: items per grid step (multiple of ``window``).
+        window: items folded into one candidate (the recall knob; the
+            per-item recall model is the approx_max_k bin argument,
+            ≈ 1 − (k−1)·window/(2N)). ``window=1`` is exact.
+        interpret: Pallas interpreter mode (CPU tests).
+
+    Returns (values (Q, k), global indices (Q, k)), sorted descending.
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if block_items % window:
+        raise ValueError("block_items must be a multiple of window")
+    bn = min(block_items, -(-n // window) * window)
+    n_blocks = -(-n // bn)
+    pad = n_blocks * bn - n
+    if pad:
+        # bias-coordinate padding (see fold kernel): no in-kernel masking
+        queries = jnp.concatenate(
+            [queries, jnp.ones((q, 1), queries.dtype)], axis=1
+        )
+        bias = jnp.concatenate(
+            [jnp.zeros((n, 1), item_embs.dtype),
+             jnp.full((pad, 1), -3e38, item_embs.dtype)], axis=0
+        )
+        items = jnp.concatenate(
+            [jnp.pad(item_embs, ((0, pad), (0, 0))), bias], axis=1
+        )
+        d = d + 1
+    else:
+        items = item_embs
+    win_per_block = bn // window
+    n_cand = n_blocks * win_per_block
+    if k > n_cand:
+        raise ValueError(
+            f"k={k} exceeds candidate count {n_cand}; lower `window` "
+            f"(N/window must be >= k)"
+        )
+
+    kernel = functools.partial(
+        _window_kernel,
+        window=window,
+        n_windows=win_per_block,
+        n_queries=q,
+    )
+    cand_vals, cand_arg = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, win_per_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, win_per_block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, n_cand), jnp.float32),
+            jax.ShapeDtypeStruct((q, n_cand), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, items)
+
+    # candidate column c IS global window id c: index = c*W + argmax
+    vals, sel = fast_topk(cand_vals, k)
+    idx = sel * window + jnp.take_along_axis(cand_arg, sel, axis=1)
+    return vals, idx
+
+
+def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
+                      n_windows: int, n_queries: int):
+    """Items-major variant: scores (BN, Q); the window reshape splits the
+    MAJOR (sublane) axis — always layout-preserving — and the outputs
+    (BN/W, Q) keep the full 128-aligned Q lane width for any window."""
+    scores = jax.lax.dot_general(
+        items_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, Q)
+    s3 = scores.reshape(n_windows, window, n_queries)
+    smax = jnp.max(s3, axis=1)                          # (BN/W, Q)
+    row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    arg = jnp.min(
+        jnp.where(s3 >= smax[:, None, :], row, window), axis=1
+    )
+    vals_ref[:] = smax
+    arg_ref[:] = arg
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mips_topk_window_im(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_items: int = 2048,
+    window: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Items-major window-segment fused MIPS top-k.
+
+    Same semantics/recall model as :func:`mips_topk_window` (contiguous
+    windows of ``window`` items; ``window=1`` exact); different on-chip
+    layout: per block the kernel emits (BN/W, Q) so nothing narrower than
+    the 128-lane tile is ever sliced or stored. Host side pays one small
+    (N/W, Q) transpose before the final exact reduce.
+    """
+    q, d = queries.shape
+    n = item_embs.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if block_items % window:
+        raise ValueError("block_items must be a multiple of window")
+    bn = min(block_items, -(-n // window) * window)
+    n_blocks = -(-n // bn)
+    pad = n_blocks * bn - n
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.ones((q, 1), queries.dtype)], axis=1
+        )
+        bias = jnp.concatenate(
+            [jnp.zeros((n, 1), item_embs.dtype),
+             jnp.full((pad, 1), -3e38, item_embs.dtype)], axis=0
+        )
+        items = jnp.concatenate(
+            [jnp.pad(item_embs, ((0, pad), (0, 0))), bias], axis=1
+        )
+        d = d + 1
+    else:
+        items = item_embs
+    win_per_block = bn // window
+    n_cand = n_blocks * win_per_block
+    if k > n_cand:
+        raise ValueError(
+            f"k={k} exceeds candidate count {n_cand}; lower `window` "
+            f"(N/window must be >= k)"
+        )
+
+    kernel = functools.partial(
+        _window_kernel_im,
+        window=window,
+        n_windows=win_per_block,
+        n_queries=q,
+    )
+    cand_vals, cand_arg = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((win_per_block, q), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win_per_block, q), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cand, q), jnp.float32),
+            jax.ShapeDtypeStruct((n_cand, q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, items)
+
+    # row r IS global window id r: index = r*W + argmax
+    vals, sel = fast_topk(cand_vals.T, k)
+    idx = sel * window + jnp.take_along_axis(cand_arg.T, sel, axis=1)
+    return vals, idx

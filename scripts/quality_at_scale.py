@@ -181,10 +181,12 @@ def main():
         # may legitimately differ, but the values must still be identical
         mism = ci != ri
         vals_equal = cv == rv
+        # where indices differ, the scores must be exact f32 ties; any
+        # value divergence (tied or not) is a real bug
+        assert bool(vals_equal[mism].all()) if mism.any() else True, \
+            f"sharded {name} index mismatch at non-tied scores"
         assert bool(vals_equal.all()), \
             f"sharded {name} values diverged from single-device"
-        assert bool((~mism | vals_equal).all()), \
-            f"sharded {name} index mismatch at non-tied scores"
         jax.block_until_ready(call(qd, ed))
         t0 = time.perf_counter()
         for _ in range(5):
@@ -193,7 +195,7 @@ def main():
         dt = (time.perf_counter() - t0) / 5
         timings[name] = {
             "qps": round(batch / dt, 1), "batch_ms": round(dt * 1000, 2),
-            "identical_to_single_device": True,
+            "identical_to_single_device": bool(not mism.any()),
             "index_mismatches_at_tied_scores": int(mism.sum()),
         }
     report["sharded_retrieval"] = {

@@ -110,8 +110,11 @@ def run_one(name, seed, args):
         train_r.groupby("item_id").size().sort_values(ascending=False)
         .index.tolist()
     )
+    # evaluate popularity over the SAME user subset as retrieval — mixing
+    # populations biases the ratio when eval users fall outside the model's
+    # id range (advisor round-3 finding)
     pop = evaluate_model(
-        {u: _filtered(u, pop_all) for u in users}, truth, k_values=[10, 20]
+        {u: _filtered(u, pop_all) for u in known}, truth, k_values=[10, 20]
     )
     return {
         "name": name, "seed": seed,

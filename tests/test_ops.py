@@ -95,6 +95,20 @@ class TestBPR:
         p = float(in_batch_bpr_pallas(u, v, 16, True))  # 20 = 16 + 4 tail
         assert p == pytest.approx(x, abs=1e-5)
 
+    def test_uneven_block_tail_grad(self):
+        """Ragged batch takes the XLA-backward fallback (the fused bwd
+        requires block-divisible batches) — grads must still match."""
+        rng = np.random.default_rng(4)
+        u = jnp.asarray(rng.normal(size=(20, 8)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(20, 8)), jnp.float32)
+        gx = jax.grad(in_batch_bpr_loss_xla, argnums=(0, 1))(u, v)
+        gp = jax.grad(
+            lambda a, b: in_batch_bpr_pallas(a, b, 16, True),
+            argnums=(0, 1),
+        )(u, v)
+        np.testing.assert_allclose(gx[0], gp[0], atol=1e-5)
+        np.testing.assert_allclose(gx[1], gp[1], atol=1e-5)
+
 
 class TestMIPSTopK:
     @pytest.fixture

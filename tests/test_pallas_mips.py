@@ -4,7 +4,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from recommendit_tpu.ops.pallas_mips import mips_topk_fused
+from recommendit_tpu.ops.pallas_mips import (
+    mips_topk_fused,
+    mips_topk_window,
+    mips_topk_window_im,
+)
 from recommendit_tpu.ops.topk import mips_topk_numpy
 
 
@@ -59,3 +63,106 @@ class TestFusedMIPS:
         _, _, _, i = _run(8, 4096, 32, 200, 4)
         for row in i:
             assert len(set(row.tolist())) == len(row)
+
+
+def _run_window(Q, N, D, K, W, block=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(Q, D)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    v, i = mips_topk_window(q, items, K, block, W, True)
+    return np.asarray(q), np.asarray(items), np.asarray(v), np.asarray(i)
+
+
+class TestWindowMIPS:
+    """Round-4 Mosaic-safe restructuring (reshape segment-max; no lane
+    slicing, no select chains — see ops/pallas_mips.py)."""
+
+    def test_values_match_indices(self):
+        q, items, v, i = _run_window(8, 5000, 32, 100, 8)
+        gathered = np.take_along_axis(q @ items.T, i, axis=1)
+        np.testing.assert_allclose(gathered, v, atol=1e-4)
+
+    def test_sorted_descending(self):
+        _, _, v, _ = _run_window(8, 4096, 16, 64, 8)
+        assert (np.diff(v, axis=1) <= 1e-6).all()
+
+    def test_indices_in_bounds_with_padding(self):
+        _, _, v, i = _run_window(8, 3001, 16, 100, 4)
+        assert (i >= 0).all() and (i < 3001).all()
+        assert np.isfinite(v).all()
+
+    def test_window_one_is_exact(self):
+        q, items, v, i = _run_window(4, 2048, 16, 50, 1)
+        vn, idxn = mips_topk_numpy(q, items, 50)
+        np.testing.assert_array_equal(i, idxn)
+        np.testing.assert_allclose(v, vn, rtol=1e-4)
+
+    def test_recall_matches_bin_model(self):
+        q, items, v, i = _run_window(16, 8192, 32, 100, 8)
+        _, idxn = mips_topk_numpy(q, items, 100)
+        recall = np.mean([
+            len(set(i[r].tolist()) & set(idxn[r].tolist())) / 100
+            for r in range(16)
+        ])
+        assert recall > 0.85
+
+    def test_lane_width_window(self):
+        """W=128 (the production lane-aligned setting)."""
+        q, items, v, i = _run_window(8, 16384, 32, 64, 128, block=4096)
+        gathered = np.take_along_axis(q @ items.T, i, axis=1)
+        np.testing.assert_allclose(gathered, v, atol=1e-4)
+        # every candidate is its window's true maximum
+        _, idxn = mips_topk_numpy(q, items, 1)
+        assert (i[:, 0] == idxn[:, 0]).all()  # global argmax always kept
+
+    def test_fold_kernel_same_recall_model(self):
+        """Same reduction factor as the fold kernel → same bin-recall
+        model (bins are contiguous here vs strided there, so candidate
+        SETS differ, but the per-item survival probability is identical
+        and the global argmax survives both)."""
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(2048, 16)), jnp.float32)
+        vf, i_f = mips_topk_fused(q, items, 32, 1024, 8, True)
+        vw, i_w = mips_topk_window(q, items, 32, 1024, 8, True)
+        np.testing.assert_allclose(np.asarray(vf)[:, 0],
+                                   np.asarray(vw)[:, 0], atol=1e-5)
+        assert (np.asarray(i_f)[:, 0] == np.asarray(i_w)[:, 0]).all()
+
+    def test_no_duplicate_indices(self):
+        _, _, _, i = _run_window(8, 4096, 32, 200, 4)
+        for row in i:
+            assert len(set(row.tolist())) == len(row)
+
+    def test_items_major_identical(self):
+        """The items-major layout has IDENTICAL semantics (same contiguous
+        windows, same first-occurrence tie-break) — outputs must match
+        element-for-element, including at a padded corpus."""
+        rng = np.random.default_rng(7)
+        for n, w, blk in ((4096, 8, 1024), (3001, 4, 1024), (8192, 64, 2048)):
+            q = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+            items = jnp.asarray(rng.normal(size=(n, 32)), jnp.float32)
+            v1, i1 = mips_topk_window(q, items, 100, blk, w, True)
+            v2, i2 = mips_topk_window_im(q, items, 100, blk, w, True)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            # values agree to f32 matmul accumulation-order noise only
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       atol=1e-4)
+
+    def test_items_major_exact_at_window_one(self):
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(2048, 16)), jnp.float32)
+        v, i = mips_topk_window_im(q, items, 50, 1024, 1, True)
+        vn, idxn = mips_topk_numpy(np.asarray(q), np.asarray(items), 50)
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+        np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
+
+    def test_bad_window_raises(self):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(1024, 16)), jnp.float32)
+        with pytest.raises(ValueError):
+            mips_topk_window(q, items, 200, 1024, 32, True)  # N/W < k
+        with pytest.raises(ValueError):
+            mips_topk_window(q, items, 10, 1000, 128, True)  # block%W
