@@ -45,6 +45,14 @@ train: all
 all:
 	$(PY) -m recommendit_tpu.pipelines.run_pipeline --stage all --data-dir $(DATA_DIR) --models-dir $(MODELS_DIR) --features-dir $(FEATURES_DIR)
 
+# turnkey real-data parity run: download -> full pipeline -> REALDATA.json
+# parity report vs the reference ladder (README.md:34-38). Falls back to
+# the golden ml-1m-format fixture when egress is blocked so the whole
+# code path still executes (report marked non-comparable).
+real-data:
+	$(CPU_ENV) $(PY) scripts/real_data.py --data-dir $(DATA_DIR) \
+	  --models-dir $(MODELS_DIR)/real --features-dir $(FEATURES_DIR)-real
+
 # end-to-end on synthetic data (air-gapped dev)
 all-synthetic:
 	$(CPU_ENV) $(PY) -m recommendit_tpu.pipelines.run_pipeline --stage all --synthetic \

@@ -23,13 +23,16 @@ Reference capability replaced: FAISS IVF probe
 (``src/models/faiss_index.py:113``) — this is the full-corpus,
 no-index-build, recall-tunable TPU equivalent.
 
-STATUS (round 1): correctness fully verified in interpreter mode (7 tests,
-incl. exactness at reduction=1). On-chip compilation is quarantined in this
-environment: large-shape Mosaic compiles of the fold kernel crash the
-remote compile service and take the shared TPU tunnel down for hours
-(observed twice). The XLA path (``ops.topk``, PartialReduce-based) is the
-production route; revisit on-chip enablement with a direct (non-tunneled)
-Mosaic toolchain.
+STATUS:
+* fold kernel (round 1): interpreter-verified; on-chip compilation
+  QUARANTINED — its lane-dimension select chains at sub-128 widths crash
+  the remote Mosaic service and wedge the shared tunnel (observed twice).
+  Kept as the historical reference implementation only.
+* window kernels (round 4): the Mosaic-safe restructuring (segment max
+  via layout-preserving reshape, no lane slicing below 128, argmax via a
+  single select + min-reduce over broadcasted_iota). ``mips_topk_window_im``
+  COMPILES AND RUNS ON THE CHIP (1.3 s compile, no crash) — probe driver:
+  ``scripts/pallas_probe.py``; on-chip A/B numbers in RESULTS.md.
 """
 from __future__ import annotations
 
@@ -188,14 +191,23 @@ def mips_topk_fused(
 
 _LANE = 128
 
+# "default" = single-pass bf16-grade MXU (the approx production setting,
+# same as the XLA approx path); "highest" = multi-pass true-f32 (pin when
+# score VALUES must match f32 references, at ~3-6x matmul cost)
+_PRECISIONS = {
+    "default": None,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 def _window_kernel(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
-                   n_windows: int, n_queries: int):
+                   n_windows: int, n_queries: int, precision):
     """One item block: fused matmul + per-window max and argmax."""
     scores = jax.lax.dot_general(
         q_ref[:], items_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Q, BN); padded items carry -3e38 via the bias coordinate
     s3 = scores.reshape(n_queries, n_windows, window)
     smax = jnp.max(s3, axis=-1)                         # (Q, BN/W)
@@ -208,7 +220,7 @@ def _window_kernel(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
     arg_ref[:] = arg
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def mips_topk_window(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -216,6 +228,7 @@ def mips_topk_window(
     block_items: int = 16384,
     window: int = _LANE,
     interpret: bool = False,
+    precision: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Window-segment fused MIPS top-k (reduction factor = ``window``).
 
@@ -268,6 +281,7 @@ def mips_topk_window(
         window=window,
         n_windows=win_per_block,
         n_queries=q,
+        precision=_PRECISIONS[precision],
     )
     cand_vals, cand_arg = pl.pallas_call(
         kernel,
@@ -296,7 +310,7 @@ def mips_topk_window(
 
 
 def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
-                      n_windows: int, n_queries: int):
+                      n_windows: int, n_queries: int, precision):
     """Items-major variant: scores (BN, Q); the window reshape splits the
     MAJOR (sublane) axis — always layout-preserving — and the outputs
     (BN/W, Q) keep the full 128-aligned Q lane width for any window."""
@@ -304,6 +318,7 @@ def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
         items_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (BN, Q)
     s3 = scores.reshape(n_windows, window, n_queries)
     smax = jnp.max(s3, axis=1)                          # (BN/W, Q)
@@ -315,7 +330,7 @@ def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
     arg_ref[:] = arg
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def mips_topk_window_im(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -323,6 +338,7 @@ def mips_topk_window_im(
     block_items: int = 2048,
     window: int = 64,
     interpret: bool = False,
+    precision: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Items-major window-segment fused MIPS top-k.
 
@@ -368,6 +384,7 @@ def mips_topk_window_im(
         window=window,
         n_windows=win_per_block,
         n_queries=q,
+        precision=_PRECISIONS[precision],
     )
     cand_vals, cand_arg = pl.pallas_call(
         kernel,
