@@ -236,16 +236,53 @@ def bench_retrieval_large(jnp, jax):
     return out
 
 
-def bench_serve_e2e(jnp, jax):
+def bench_retrieval_fused(jnp, jax):
+    """Fused Pallas window kernel at 1M×128 over a bf16 corpus — the
+    production `mode="fused"` route. Measured recall at this exact shape:
+    0.9856 (vs XLA approx 0.9835) — single-process A/B in mips_ab.json;
+    this bench records the throughput envelope at the serving batch (256)
+    and the kernel's sweet spot (1024)."""
+    from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+
+    n_items, dim, k, block = 1_000_000, 128, 500, 4096
+    rng = np.random.default_rng(0)
+    items = jnp.asarray(rng.normal(size=(n_items, dim)), jnp.float32)
+    items = (items / jnp.linalg.norm(items, axis=1, keepdims=True)
+             ).astype(jnp.bfloat16)
+    # pad ONCE to a block multiple (an in-jit pad re-copies the corpus
+    # every loop iteration when XLA cannot hoist it)
+    pad = (-n_items) % block
+    items = jnp.pad(items, ((0, pad), (0, 0)))
+
+    out = {}
+    fn = lambda q, it: mips_topk_fused_auto(q, it, k, block,
+                                            n_valid=n_items)
+    for batch in (256, 1024):
+        q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+        dt_iter = device_loop_time(jax, jnp, fn, q0, items, iters=20)
+        out[f"retrieval_1M_fused_b{batch}_qps"] = batch / dt_iter
+        out[f"retrieval_1M_fused_b{batch}_batch_ms"] = dt_iter * 1000
+        speed_of_light(out, f"retrieval_1M_fused_b{batch}", dt_iter * 1000,
+                       flops=2 * batch * n_items * dim,
+                       hbm_bytes=2 * (n_items * dim) + 4 * (batch * dim
+                                                            + 2 * batch * k))
+    return out
+
+
+def bench_serve_e2e(jnp, jax, batch: int = 256, iters: int = 50,
+                    prefix: str = "serve_e2e"):
     """Fused serving hot path: embed → top-500 of 3952 → assemble 50 feats →
-    MLP rank → top-100, batched over 256 users."""
+    MLP rank → top-100, batched over ``batch`` users. ``batch=1`` measures
+    the true single-request DEVICE time (the chained fori_loop cannot
+    overlap requests), decomposing the blocking single-call latency into
+    device compute vs tunnel RTT (VERDICT r3 #3)."""
     from recommendit_tpu.features.schema import assemble_packed_jnp
     from recommendit_tpu.models.ranker import init_mlp, mlp_score
     from recommendit_tpu.models.two_tower import init_params, user_tower
     from recommendit_tpu.ops.topk import mips_topk
 
     n_users, n_items, d, h = 6040, 3952, 64, 128
-    batch, n_cand, k_out = 256, 500, 100
+    n_cand, k_out = 500, 100
     rng = np.random.default_rng(0)
     params = init_params(jax.random.PRNGKey(0), n_users, n_items, d, h)
     item_embs = jnp.asarray(rng.normal(size=(n_items, d)), jnp.float32)
@@ -271,7 +308,6 @@ def bench_serve_e2e(jnp, jax):
 
     u0 = rng.integers(1, n_users, size=batch)
     uids0 = jnp.asarray(u0, jnp.int32)
-    iters = 50
 
     @jax.jit
     def run(uids0):
@@ -297,29 +333,39 @@ def bench_serve_e2e(jnp, jax):
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     return {
-        "serve_e2e_users_per_s": batch / dt,
-        "serve_e2e_batch256_ms": dt * 1000,
+        f"{prefix}_users_per_s": batch / dt,
+        f"{prefix}_batch{batch}_ms": dt * 1000,
     }
 
 
-def bench_serve_e2e_large(jnp, jax):
+def bench_serve_e2e_large(jnp, jax, batch: int = 256, iters: int = 30,
+                          prefix: str = "serve_e2e_1M",
+                          retrieval: str = "approx"):
     """Fused serving at production corpus scale: embed → top-500 of 1M×128
     (approx mode, measured recall 0.98 at this setting — RESULTS.md curve)
-    → assemble 50 feats → MLP rank → top-100, batched over 256 users.
+    → assemble 50 feats → MLP rank → top-100, batched over ``batch`` users.
+    ``retrieval="fused"`` swaps the XLA approx scan for the Pallas window
+    kernel over a bf16 corpus (recall 0.986 at the same shape, mips_ab.json).
 
     The corpus and packed item table are passed as arguments (never jit
     constants — the remote compiler rejects large constant payloads)."""
     from recommendit_tpu.features.schema import assemble_packed_jnp
     from recommendit_tpu.models.ranker import init_mlp, mlp_score
     from recommendit_tpu.models.two_tower import init_params, user_tower
+    from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
     from recommendit_tpu.ops.topk import mips_topk
 
     n_users, n_items, d, h = 6040, 1_000_000, 128, 128
-    batch, n_cand, k_out = 256, 500, 100
+    n_cand, k_out = 500, 100
     rng = np.random.default_rng(0)
     params = init_params(jax.random.PRNGKey(0), n_users, 1, d, h)
     item_embs = jnp.asarray(rng.normal(size=(n_items, d)), jnp.float32)
     item_embs = item_embs / jnp.linalg.norm(item_embs, axis=1, keepdims=True)
+    if retrieval == "fused":
+        # bf16 corpus, pre-padded to a block multiple (see
+        # bench_retrieval_fused)
+        item_embs = jnp.pad(item_embs.astype(jnp.bfloat16),
+                            ((0, (-n_items) % 4096), (0, 0)))
     user_packed = jnp.asarray(rng.normal(size=(n_users + 1, 24)), jnp.float32)
     item_packed = jnp.asarray(
         rng.normal(size=(n_items + 1, 23)), jnp.float32
@@ -328,7 +374,11 @@ def bench_serve_e2e_large(jnp, jax):
 
     def serve_batch(user_ids, item_embs, item_packed):
         q = user_tower(params, user_ids)
-        rvals, pos = mips_topk(q, item_embs, n_cand, 65536, "approx")
+        if retrieval == "fused":
+            rvals, pos = mips_topk_fused_auto(q, item_embs, n_cand, 4096,
+                                              n_valid=n_items)
+        else:
+            rvals, pos = mips_topk(q, item_embs, n_cand, 65536, "approx")
         cand = pos.astype(jnp.int32) + 1  # item ids are 1-based rows
         u_vecs = jnp.take(user_packed, user_ids, axis=0)
         feats = jax.vmap(
@@ -342,7 +392,6 @@ def bench_serve_e2e_large(jnp, jax):
 
     u0 = rng.integers(1, n_users, size=batch)
     uids0 = jnp.asarray(u0, jnp.int32)
-    iters = 30
 
     @jax.jit
     def run(uids0, item_embs, item_packed):
@@ -365,16 +414,17 @@ def bench_serve_e2e_large(jnp, jax):
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     out = {
-        "serve_e2e_1M_users_per_s": batch / dt,
-        "serve_e2e_1M_batch256_ms": dt * 1000,
+        f"{prefix}_users_per_s": batch / dt,
+        f"{prefix}_batch{batch}_ms": dt * 1000,
     }
     # mandatory traffic: corpus scan + packed-feature gather for the 500
     # candidates per user; ranker MLP flops on 50 features
+    bytes_per_coord = 2 if retrieval == "fused" else 4
     mlp_flops = 2 * batch * n_cand * (50 * 128 + 128 * 64 + 64)
-    speed_of_light(out, "serve_1M", dt * 1000,
+    speed_of_light(out, prefix.replace("serve_e2e", "serve"), dt * 1000,
                    flops=2 * batch * n_items * d + mlp_flops,
-                   hbm_bytes=4 * (n_items * d
-                                  + batch * n_cand * (23 + 1)))
+                   hbm_bytes=bytes_per_coord * n_items * d
+                   + 4 * batch * n_cand * (23 + 1))
     return out
 
 
@@ -516,15 +566,43 @@ def main():
         f"{results['retrieval_1M_dim128_approx_qps']:.0f} "
         f"({results['sol_retrieval_1M_approx_pct']}%), full+approx "
         f"{results['retrieval_1M_dim128_full_approx_qps']:.0f}")
+    try:
+        results.update(bench_retrieval_fused(jnp, jax))
+        log(f"retrieval 1M fused kernel (bf16): "
+            f"b256 {results['retrieval_1M_fused_b256_qps']:.0f} qps, "
+            f"b1024 {results['retrieval_1M_fused_b1024_qps']:.0f} qps "
+            f"({results['sol_retrieval_1M_fused_b1024_pct']}% of "
+            f"{results['sol_retrieval_1M_fused_b1024_bound']} roof)")
+    except Exception as e:
+        log(f"retrieval 1M fused skipped: {e}")
     results.update(bench_serve_e2e(jnp, jax))
     log(f"serve e2e: {results['serve_e2e_users_per_s']:.0f} users/s "
         f"(batch256 {results['serve_e2e_batch256_ms']:.2f} ms)")
+    # single-request device time: batch=1 through the SAME fused hot path.
+    # Blocking request latency ≈ this + dispatch RTT — decomposing the
+    # number the reference publishes as e2e p50 (README.md:44, 18 ms)
+    results.update(bench_serve_e2e(jnp, jax, batch=1, iters=200,
+                                   prefix="serve_single"))
+    log(f"single request: device "
+        f"{results['serve_single_batch1_ms']:.3f} ms + tunnel RTT p50 "
+        f"{results['dispatch_rtt_p50_ms']:.2f} ms "
+        f"(reference e2e p50: 18 ms)")
     try:
         results.update(bench_serve_e2e_large(jnp, jax))
         log(f"serve e2e 1M x 128: "
             f"{results['serve_e2e_1M_users_per_s']:.0f} users/s "
             f"(batch256 {results['serve_e2e_1M_batch256_ms']:.2f} ms, "
             f"floor {results['sol_serve_1M_pct']}%)")
+        results.update(bench_serve_e2e_large(
+            jnp, jax, prefix="serve_e2e_1M_fused", retrieval="fused"))
+        log(f"serve e2e 1M fused-kernel retrieval: "
+            f"{results['serve_e2e_1M_fused_users_per_s']:.0f} users/s "
+            f"(batch256 {results['serve_e2e_1M_fused_batch256_ms']:.2f} ms, "
+            f"floor {results['sol_serve_1M_fused_pct']}%)")
+        results.update(bench_serve_e2e_large(
+            jnp, jax, batch=1, iters=50, prefix="serve_single_1M"))
+        log(f"single request at 1M corpus: device "
+            f"{results['serve_single_1M_batch1_ms']:.3f} ms + RTT")
     except Exception as e:  # never let the at-scale row kill the headline
         log(f"serve e2e 1M skipped: {e}")
 

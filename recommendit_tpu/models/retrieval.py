@@ -109,6 +109,15 @@ class MIPSIndex:
             dev_dtype = (
                 jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             )
+            if self.mode == "fused":
+                # pad rows ONCE to a kernel-block multiple so the jitted
+                # searcher never re-pads per call (the fused kernel masks
+                # padded rows by index; see ops/pallas_mips.py)
+                pad = (-len(embs)) % self.block_size
+                if pad:
+                    embs = np.concatenate(
+                        [embs, np.zeros((pad, embs.shape[1]), embs.dtype)]
+                    )
             self._embs = jnp.asarray(embs, dev_dtype)
         self._ids_dev = jnp.asarray(self.item_ids, jnp.int32)
         logger.info(
@@ -183,11 +192,12 @@ class MIPSIndex:
         if self.mode == "fused":
             import jax
 
-            from recommendit_tpu.ops.pallas_mips import mips_topk_fused
+            from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
 
             interpret = jax.devices()[0].platform != "tpu"
-            return mips_topk_fused(queries, self._embs, k,
-                                   self.block_size, 32, interpret)
+            return mips_topk_fused_auto(queries, self._embs, k,
+                                        self.block_size, interpret,
+                                        n_valid=self.n_total)
         return mips_topk(queries, self._embs, k, self.block_size, self.mode)
 
     def make_device_searcher(self, k: int):
@@ -209,11 +219,13 @@ class MIPSIndex:
         if mode == "fused":
             import jax
 
-            from recommendit_tpu.ops.pallas_mips import mips_topk_fused
+            from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
 
             interpret = jax.devices()[0].platform != "tpu"
-            return lambda q: mips_topk_fused(aug(q), embs, k, block, 32,
-                                             interpret)
+            n_valid = self.n_total
+            return lambda q: mips_topk_fused_auto(aug(q), embs, k, block,
+                                                  interpret,
+                                                  n_valid=n_valid)
         return lambda q: mips_topk(aug(q), embs, k, block, mode)
 
     # ------------------------------------------------------------------ #
@@ -246,7 +258,7 @@ class MIPSIndex:
                 # store the un-augmented matrix — build() re-appends the bias
                 embeddings=np.asarray(
                     self._embs, np.float32
-                )[:, : self.embedding_dim],
+                )[: self.n_total, : self.embedding_dim],
                 item_ids=self.item_ids,
                 **extras,
             )

@@ -31,8 +31,15 @@ STATUS:
 * window kernels (round 4): the Mosaic-safe restructuring (segment max
   via layout-preserving reshape, no lane slicing below 128, argmax via a
   single select + min-reduce over broadcasted_iota). ``mips_topk_window_im``
-  COMPILES AND RUNS ON THE CHIP (1.3 s compile, no crash) — probe driver:
-  ``scripts/pallas_probe.py``; on-chip A/B numbers in RESULTS.md.
+  IS THE PRODUCTION ON-CHIP PATH (``MIPSIndex(mode="fused")`` via
+  :func:`mips_topk_fused_auto`): at 1M x 128, k=500 on one v5e it measures
+  225k QPS (q=1024) / 115k QPS (q=256, bf16 corpus) at recall 0.986 vs the
+  XLA approx path's 106-131k at 0.984 — single-process A/B in
+  ``mips_ab.json`` (driver: ``scripts/mips_ab.py``). Per-step decomposition
+  (scripts/pallas_probe.py): the matmul+DMA pipeline is the bottleneck
+  (~8 µs/grid-step at block 4096); the in-kernel argmax and the host-side
+  tail add <0.5 ms combined. bf16 corpus storage halves the HBM stream
+  (2 bytes/coord) at no recall cost — scores were bf16-grade already.
 """
 from __future__ import annotations
 
@@ -200,15 +207,40 @@ _PRECISIONS = {
 }
 
 
+def _mm_operands(q_ref, items_ref, precision):
+    """Matmul operands at matched dtype: a bf16 corpus streams at half the
+    HBM cost and feeds the MXU directly (measured 1.22x at 1Mx128);
+    "highest" precision upcasts both sides to true f32."""
+    it = items_ref[:]
+    qv = q_ref[:]
+    if precision is None:
+        qv = qv.astype(it.dtype)
+    else:
+        it = it.astype(jnp.float32)
+        qv = qv.astype(jnp.float32)
+    return qv, it
+
+
 def _window_kernel(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
-                   n_windows: int, n_queries: int, precision):
+                   n_windows: int, n_queries: int, precision,
+                   block_items: int, n_valid: int, masked: bool):
     """One item block: fused matmul + per-window max and argmax."""
+    qv, it = _mm_operands(q_ref, items_ref, precision)
     scores = jax.lax.dot_general(
-        q_ref[:], items_ref[:],
+        qv, it,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )  # (Q, BN); padded items carry -3e38 via the bias coordinate
+    )  # (Q, BN)
+    if masked:
+        # zero-padded corpus rows (last block only): mask by global row so
+        # the feature dim stays 128-aligned — the round-4 bias-coordinate
+        # trick made d=D+1, which broke MXU/DMA tiling and cost 2.2x at
+        # 1M x 128 (bench vs mips_ab discrepancy). One select against an
+        # iota, same construct as the argmax below — measured free.
+        col_global = pl.program_id(0) * block_items + \
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col_global < n_valid, scores, -3e38)
     s3 = scores.reshape(n_queries, n_windows, window)
     smax = jnp.max(s3, axis=-1)                         # (Q, BN/W)
     lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
@@ -220,7 +252,7 @@ def _window_kernel(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
     arg_ref[:] = arg
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def mips_topk_window(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -229,6 +261,7 @@ def mips_topk_window(
     window: int = _LANE,
     interpret: bool = False,
     precision: str = "default",
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Window-segment fused MIPS top-k (reduction factor = ``window``).
 
@@ -241,33 +274,31 @@ def mips_topk_window(
             per-item recall model is the approx_max_k bin argument,
             ≈ 1 − (k−1)·window/(2N)). ``window=1`` is exact.
         interpret: Pallas interpreter mode (CPU tests).
+        n_valid: number of REAL corpus rows when the caller pre-padded
+            ``item_embs`` with zero rows up to a block multiple (pad once
+            at build time — an in-jit pad is a fresh 2·corpus-bytes copy
+            whenever XLA fails to hoist it out of a surrounding loop).
+            None: all N rows are real; a non-multiple N is padded here.
 
     Returns (values (Q, k), global indices (Q, k)), sorted descending.
     """
     q, d = queries.shape
     n = item_embs.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if n_valid is None:
+        n_valid = n
+    elif not (0 < n_valid <= n):
+        raise ValueError(f"n_valid={n_valid} out of range for N={n}")
+    if k > n_valid:
+        raise ValueError(f"k={k} exceeds corpus size {n_valid}")
     if block_items % window:
         raise ValueError("block_items must be a multiple of window")
     bn = min(block_items, -(-n // window) * window)
     n_blocks = -(-n // bn)
     pad = n_blocks * bn - n
-    if pad:
-        # bias-coordinate padding (see fold kernel): no in-kernel masking
-        queries = jnp.concatenate(
-            [queries, jnp.ones((q, 1), queries.dtype)], axis=1
-        )
-        bias = jnp.concatenate(
-            [jnp.zeros((n, 1), item_embs.dtype),
-             jnp.full((pad, 1), -3e38, item_embs.dtype)], axis=0
-        )
-        items = jnp.concatenate(
-            [jnp.pad(item_embs, ((0, pad), (0, 0))), bias], axis=1
-        )
-        d = d + 1
-    else:
-        items = item_embs
+    # zero-row padding + in-kernel last-block mask: keeps the feature dim
+    # 128-aligned (the earlier bias-coordinate trick made d=D+1 and cost
+    # 2.2x in MXU/DMA tiling at 1M x 128)
+    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
     win_per_block = bn // window
     n_cand = n_blocks * win_per_block
     if k > n_cand:
@@ -282,6 +313,9 @@ def mips_topk_window(
         n_windows=win_per_block,
         n_queries=q,
         precision=_PRECISIONS[precision],
+        block_items=bn,
+        n_valid=n_valid,
+        masked=n_valid < n_blocks * bn,
     )
     cand_vals, cand_arg = pl.pallas_call(
         kernel,
@@ -310,16 +344,24 @@ def mips_topk_window(
 
 
 def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
-                      n_windows: int, n_queries: int, precision):
+                      n_windows: int, n_queries: int, precision,
+                      block_items: int, n_valid: int, masked: bool):
     """Items-major variant: scores (BN, Q); the window reshape splits the
     MAJOR (sublane) axis — always layout-preserving — and the outputs
     (BN/W, Q) keep the full 128-aligned Q lane width for any window."""
+    qv, it = _mm_operands(q_ref, items_ref, precision)
     scores = jax.lax.dot_general(
-        items_ref[:], q_ref[:],
+        it, qv,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # (BN, Q)
+    if masked:
+        # see _window_kernel: zero-row padding + last-block mask keeps the
+        # feature dim 128-aligned (the bias coordinate cost 2.2x here)
+        row_global = pl.program_id(0) * block_items + \
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(row_global < n_valid, scores, -3e38)
     s3 = scores.reshape(n_windows, window, n_queries)
     smax = jnp.max(s3, axis=1)                          # (BN/W, Q)
     row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
@@ -330,7 +372,7 @@ def _window_kernel_im(q_ref, items_ref, vals_ref, arg_ref, *, window: int,
     arg_ref[:] = arg
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def mips_topk_window_im(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -339,6 +381,7 @@ def mips_topk_window_im(
     window: int = 64,
     interpret: bool = False,
     precision: str = "default",
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Items-major window-segment fused MIPS top-k.
 
@@ -350,27 +393,19 @@ def mips_topk_window_im(
     """
     q, d = queries.shape
     n = item_embs.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if n_valid is None:
+        n_valid = n
+    elif not (0 < n_valid <= n):
+        raise ValueError(f"n_valid={n_valid} out of range for N={n}")
+    if k > n_valid:
+        raise ValueError(f"k={k} exceeds corpus size {n_valid}")
     if block_items % window:
         raise ValueError("block_items must be a multiple of window")
     bn = min(block_items, -(-n // window) * window)
     n_blocks = -(-n // bn)
     pad = n_blocks * bn - n
-    if pad:
-        queries = jnp.concatenate(
-            [queries, jnp.ones((q, 1), queries.dtype)], axis=1
-        )
-        bias = jnp.concatenate(
-            [jnp.zeros((n, 1), item_embs.dtype),
-             jnp.full((pad, 1), -3e38, item_embs.dtype)], axis=0
-        )
-        items = jnp.concatenate(
-            [jnp.pad(item_embs, ((0, pad), (0, 0))), bias], axis=1
-        )
-        d = d + 1
-    else:
-        items = item_embs
+    # zero-row padding + in-kernel mask (see mips_topk_window)
+    items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
     win_per_block = bn // window
     n_cand = n_blocks * win_per_block
     if k > n_cand:
@@ -385,6 +420,9 @@ def mips_topk_window_im(
         n_windows=win_per_block,
         n_queries=q,
         precision=_PRECISIONS[precision],
+        block_items=bn,
+        n_valid=n_valid,
+        masked=n_valid < n_blocks * bn,
     )
     cand_vals, cand_arg = pl.pallas_call(
         kernel,
@@ -410,3 +448,38 @@ def mips_topk_window_im(
     vals, sel = fast_topk(cand_vals.T, k)
     idx = sel * window + jnp.take_along_axis(cand_arg.T, sel, axis=1)
     return vals, idx
+
+
+def mips_topk_fused_auto(
+    queries: jnp.ndarray,
+    item_embs: jnp.ndarray,
+    k: int,
+    block_items: int = 4096,
+    interpret: bool = False,
+    precision: str = "default",
+    n_valid: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Production entry for the fused kernel: picks the largest window
+    (reduction factor) the corpus supports, and falls back to the XLA
+    windowed path when the corpus is too small for the reduction to pay
+    (the kernel's win is skipping score materialization — at < ~64k items
+    the score matrix is VMEM-resident for XLA anyway).
+
+    Shape logic is Python-on-static-shapes: safe under jit.
+    On-chip A/B (1M x 128, k=500, v5e): 225k QPS at recall 0.986 vs the
+    XLA approx path's 106-131k at 0.984 (mips_ab.json).
+    """
+    n = item_embs.shape[0] if n_valid is None else n_valid
+    window = _LANE // 2                       # 64: the measured sweet spot
+    # need n/window >= max(k, 512) candidates for the tail reduce to be
+    # meaningful and the out-block lane width to stay efficient
+    while window > 1 and n // window < max(k, 4 * window):
+        window //= 2
+    if window < 8:
+        from recommendit_tpu.ops.topk import mips_topk
+
+        return mips_topk(queries[:, :], item_embs[:n].astype(jnp.float32),
+                         k, block_items, "exact")
+    bn = max(window, block_items - block_items % window)
+    return mips_topk_window_im(queries, item_embs, k, bn, window,
+                               interpret, precision, n_valid)

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--precision", default="default",
                     choices=["default", "highest"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="corpus storage dtype (bf16 halves the HBM stream)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +46,7 @@ def main():
     q0 = jnp.asarray(rng.normal(size=(args.q, args.d)), jnp.float32)
     items = jnp.asarray(rng.normal(size=(args.n, args.d)), jnp.float32)
     items = items / jnp.linalg.norm(items, axis=1, keepdims=True)
+    items = items.astype(jnp.dtype(args.dtype))
     jax.block_until_ready(items)
 
     if args.variant == "fold":
@@ -64,11 +68,13 @@ def main():
     # value must be the true score of its index, and the top-1 must be
     # the global argmax (survives any window size)
     qs = np.asarray(q0)[:4]
-    scores_ref = qs @ np.asarray(items).T
+    scores_ref = qs @ np.asarray(items, np.float32).T
     got = np.take_along_axis(scores_ref, np.asarray(i)[:4], axis=1)
     # default precision scores with single-pass bf16 MXU (like the XLA
     # approx path) → compare at bf16-grade tolerance; "highest" is true f32
     atol = 1e-3 if args.precision == "highest" else 1e-2
+    if args.dtype == "bfloat16":
+        atol += 1e-2  # corpus quantization error rides on top
     err = float(np.abs(got - np.asarray(v)[:4]).max())
     ok_vals = bool(err < atol)
     ok_top1 = bool(

@@ -158,6 +158,19 @@ class TestWindowMIPS:
         np.testing.assert_array_equal(np.asarray(i), idxn)
         np.testing.assert_allclose(np.asarray(v), vn, rtol=1e-4)
 
+    def test_bf16_corpus(self):
+        """bf16 corpus storage: indices track the bf16-quantized scores,
+        values stay within quantization error of f32 truth."""
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+        items_f32 = rng.normal(size=(4096, 32)).astype(np.float32)
+        items_f32 /= np.linalg.norm(items_f32, axis=1, keepdims=True)
+        items = jnp.asarray(items_f32, jnp.bfloat16)
+        v, i = mips_topk_window_im(q, items, 100, 1024, 8, True)
+        gathered = np.take_along_axis(
+            np.asarray(q) @ items_f32.T, np.asarray(i), axis=1)
+        np.testing.assert_allclose(gathered, np.asarray(v), atol=3e-2)
+
     def test_bad_window_raises(self):
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
@@ -166,3 +179,62 @@ class TestWindowMIPS:
             mips_topk_window(q, items, 200, 1024, 32, True)  # N/W < k
         with pytest.raises(ValueError):
             mips_topk_window(q, items, 10, 1000, 128, True)  # block%W
+
+
+class TestFusedAuto:
+    """mips_topk_fused_auto: window auto-selection + small-corpus fallback
+    (the production `MIPSIndex(mode="fused")` entry)."""
+
+    def test_small_corpus_falls_back_to_windowed(self):
+        from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(3952, 16)), jnp.float32)
+        v, i = mips_topk_fused_auto(q, items, 500, 1024, True)
+        vn, idxn = mips_topk_numpy(np.asarray(q), np.asarray(items), 500)
+        # fallback path is exact
+        np.testing.assert_array_equal(np.asarray(i), idxn)
+
+    def test_large_corpus_uses_kernel(self):
+        from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(65536, 16)), jnp.float32)
+        v, i = mips_topk_fused_auto(q, items, 100, 4096, True)
+        gathered = np.take_along_axis(
+            np.asarray(q) @ np.asarray(items).T, np.asarray(i), axis=1)
+        np.testing.assert_allclose(gathered, np.asarray(v), atol=1e-3)
+        # window=64 at this shape: recall per bin model ~1-99*64/131072=0.95
+        _, idxn = mips_topk_numpy(np.asarray(q), np.asarray(items), 100)
+        recall = np.mean([
+            len(set(np.asarray(i)[r].tolist()) & set(idxn[r].tolist())) / 100
+            for r in range(4)
+        ])
+        assert recall > 0.85
+
+    def test_mid_corpus_window_shrinks(self):
+        """16k corpus with k=500: window must shrink so N/W >= max(k, 4W)."""
+        from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(16384, 16)), jnp.float32)
+        v, i = mips_topk_fused_auto(q, items, 500, 1024, True)
+        assert np.asarray(i).shape == (4, 500)
+        assert (np.asarray(i) >= 0).all() and (np.asarray(i) < 16384).all()
+
+    def test_prepadded_corpus_n_valid(self):
+        """Caller-pre-padded corpus + n_valid must match the internally
+        padded call exactly (the production MIPSIndex(mode='fused') path
+        pads once at build time)."""
+        from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+        rng = np.random.default_rng(3)
+        n, blk = 70000, 1024
+        q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+        pad = (-n) % blk
+        padded = jnp.pad(items, ((0, pad), (0, 0)))
+        v1, i1 = mips_topk_fused_auto(q, items, 100, blk, True)
+        v2, i2 = mips_topk_fused_auto(q, padded, 100, blk, True, n_valid=n)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+        assert (np.asarray(i2) < n).all()
