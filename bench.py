@@ -279,7 +279,7 @@ def bench_serve_e2e(jnp, jax, batch: int = 256, iters: int = 50,
     from recommendit_tpu.features.schema import assemble_packed_jnp
     from recommendit_tpu.models.ranker import init_mlp, mlp_score
     from recommendit_tpu.models.two_tower import init_params, user_tower
-    from recommendit_tpu.ops.topk import mips_topk
+    from recommendit_tpu.ops.topk import fast_topk, mips_topk
 
     n_users, n_items, d, h = 6040, 3952, 64, 128
     n_cand, k_out = 500, 100
@@ -303,7 +303,7 @@ def bench_serve_e2e(jnp, jax, batch: int = 256, iters: int = 50,
             )
         )(u_vecs, cand)
         scores = mlp_score(rparams, feats)
-        top_scores, sel = jax.lax.top_k(scores, k_out)
+        top_scores, sel = fast_topk(scores, k_out)
         return jnp.take_along_axis(cand, sel, axis=1), top_scores
 
     u0 = rng.integers(1, n_users, size=batch)
@@ -353,7 +353,7 @@ def bench_serve_e2e_large(jnp, jax, batch: int = 256, iters: int = 30,
     from recommendit_tpu.models.ranker import init_mlp, mlp_score
     from recommendit_tpu.models.two_tower import init_params, user_tower
     from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
-    from recommendit_tpu.ops.topk import mips_topk
+    from recommendit_tpu.ops.topk import fast_topk, mips_topk
 
     n_users, n_items, d, h = 6040, 1_000_000, 128, 128
     n_cand, k_out = 500, 100
@@ -387,7 +387,7 @@ def bench_serve_e2e_large(jnp, jax, batch: int = 256, iters: int = 30,
             )
         )(u_vecs, cand)
         scores = mlp_score(rparams, feats)
-        top_scores, sel = jax.lax.top_k(scores, k_out)
+        top_scores, sel = fast_topk(scores, k_out)
         return jnp.take_along_axis(cand, sel, axis=1), top_scores
 
     u0 = rng.integers(1, n_users, size=batch)

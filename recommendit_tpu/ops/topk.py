@@ -483,15 +483,17 @@ def mips_topk_certified(
     precision=HIGHEST. ``method='bound'`` runs :func:`_bound_verified_topk`
     — ONE bf16-precision full pass + exact rescore of ``oversample*k``
     candidates, certified by a rigorous rounding-error bound, with NO
-    HIGHEST-precision full-corpus matmul at all. Measured at (256q, 1M,
-    d=128) 'count' wins (22.4 vs 60 ms/batch): selecting the top ~2k
-    candidates the bound cert needs costs ~30 ms — ``approx_max_k``'s
-    PartialReduce degenerates once k reaches a few % of the row — which
-    swamps the 11->4.6 ms scoring-pass saving (RESULTS.md round-3 profile).
-    'bound' is the right tool when the scoring pass dominates instead:
-    high embedding dims (HIGHEST cost scales with d, selection cost does
-    not) or corpora stored in bf16 where no HIGHEST-grade full pass is
-    possible.
+    HIGHEST-precision full-corpus matmul at all.
+
+    DEPRECATED-BY-MEASUREMENT: 'bound' loses to 'count' at EVERY measured
+    shape, including its hypothesized home turf — round-4 sweep at
+    constant corpus bytes (scripts/bound_turf.py, bound_turf.json):
+    count/bound QPS = 43.3k/3.7k at 262k×128, 46.0k/7.4k at 65k×512,
+    60.9k/6.6k at 32k×1024. Its certificate fires 100% of the time (the
+    math is sound) but the (Q, m, D) candidate gather + batched mat-vec
+    rescore is MXU-hostile and the windowed count pass it avoids is cheap
+    even at d=1024. Kept as API surface and as the only certified path
+    usable on a corpus stored ONLY in bf16; use 'count' everywhere else.
 
     Only when ANY query's certificate fails is the whole batch recomputed
     through the windowed exact path. The escalation is a ``lax.cond``

@@ -107,7 +107,11 @@ def init_ctr_sharded_state(
     tx: optax.GradientTransformation,
     params: dict,
 ) -> Tuple[dict, object]:
-    """Shard params; optimizer moments inherit each param's sharding."""
+    """Shard params; optimizer moments pinned to each param's sharding
+    (``jit(tx.init)`` alone does NOT propagate — see
+    ``parallel.mesh.init_opt_sharded``)."""
+    from recommendit_tpu.parallel.mesh import init_opt_sharded
+
     params = shard_ctr_params(params, mesh)
-    opt_state = jax.jit(tx.init)(params)
+    opt_state = init_opt_sharded(tx, params, mesh)
     return params, opt_state

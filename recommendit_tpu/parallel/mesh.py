@@ -109,6 +109,47 @@ def params_shardings(params: dict, mesh: Mesh) -> dict:
     return out
 
 
+def opt_shardings_like(params, opt_abstract, mesh: Mesh):
+    """Sharding pytree for an optax state: any subtree that mirrors the
+    param tree (adam's mu/nu, sgd's trace, …) inherits the param
+    shardings element-wise; every other leaf (step counters, schedule
+    state) is replicated.
+
+    Needed because ``jax.jit(tx.init)(sharded_params)`` does NOT reliably
+    propagate input shardings to the output — measured on the 8-device
+    CPU mesh AND the 2-process cluster, the entire init output (including
+    the row-sharded table's moments) lands on global device 0, silently
+    un-sharding the largest state in the job. Pass the result as
+    ``out_shardings`` to pin it.
+    """
+    pdef = jax.tree_util.tree_structure(params)
+    pshard = jax.tree_util.tree_map(lambda x: x.sharding, params)
+    rep = replicated(mesh)
+
+    def rec(node):
+        if jax.tree_util.tree_structure(node) == pdef:
+            return pshard
+        if isinstance(node, tuple):          # incl. optax NamedTuples
+            children = [rec(c) for c in node]
+            return (type(node)(*children) if hasattr(node, "_fields")
+                    else tuple(children))
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return rep
+
+    return rec(opt_abstract)
+
+
+def init_opt_sharded(tx, params, mesh: Mesh):
+    """``tx.init`` with every output leaf pinned to the right sharding
+    (see :func:`opt_shardings_like`)."""
+    abstract = jax.eval_shape(tx.init, params)
+    shardings = opt_shardings_like(params, abstract, mesh)
+    return jax.jit(tx.init, out_shardings=shardings)(params)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Pad a table so its sharded dimension divides the mesh axis."""
     n = x.shape[axis]

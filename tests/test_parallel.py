@@ -146,6 +146,20 @@ class TestShardedTrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
+    def test_optimizer_moments_are_sharded(self, mesh):
+        """jit(tx.init) alone lands the whole opt state on device 0 —
+        init_sharded_state must pin the table moments to the table's
+        row sharding and everything else replicated (global)."""
+        params = init_params(jax.random.PRNGKey(1), 31, 31, 8, 16)
+        tx = optax.adam(1e-2)
+        sp, so = init_sharded_state(mesh, tx, params)
+        n_dev = len(jax.devices())
+        for leaf in jax.tree_util.tree_leaves(so):
+            assert len(leaf.sharding.device_set) == n_dev, leaf
+        # adam mu of the row-sharded table mirrors the param sharding
+        mu = so[0].mu if hasattr(so[0], "mu") else so[1].mu
+        assert mu["user_embed"].sharding == sp["user_embed"].sharding
+
     def test_table_sharding_preserved_across_steps(self, mesh):
         params = init_params(jax.random.PRNGKey(1), 31, 31, 8, 16)
         genre_table = jnp.zeros((32, 18))
