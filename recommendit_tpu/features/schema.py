@@ -147,11 +147,13 @@ def pack_item_features(item_features: pd.DataFrame, n_items: int) -> np.ndarray:
 
 
 def assemble_packed_np(user_vec: np.ndarray, item_mat: np.ndarray) -> np.ndarray:
-    """numpy twin of :func:`assemble_packed_jnp` (host-side checks/tests)."""
+    """numpy twin of :func:`assemble_packed_jnp` (host-side checks/tests);
+    like it, ignores trailing gather-padding columns."""
     nu, ni = len(USER_SCALAR_COLS), len(ITEM_SCALAR_COLS)
     c = item_mat.shape[0]
-    u_scal, u_genre = user_vec[:nu], user_vec[nu:]
-    i_scal, i_genre = item_mat[:, :ni], item_mat[:, ni:]
+    u_scal, u_genre = user_vec[:nu], user_vec[nu:nu + N_GENRES]
+    i_scal = item_mat[:, :ni]
+    i_genre = item_mat[:, ni:ni + N_GENRES]
     rating_diff = u_scal[0] - i_scal[:, 0]
     pop_ratio = u_scal[1] / (i_scal[:, 1] + 1e-8)
     # multiply-then-sum (not BLAS matvec) so the f32 accumulation order is
@@ -170,8 +172,34 @@ def assemble_packed_np(user_vec: np.ndarray, item_mat: np.ndarray) -> np.ndarray
     ).astype(np.float32)
 
 
+GATHER_PAD_WIDTH = 64
+
+
+def pad_packed_width(table, width: int = GATHER_PAD_WIDTH):
+    """Zero-pad packed feature rows to a TPU-gather-friendly width.
+
+    Random row gathers on TPU are latency-bound per row, not
+    bandwidth-bound: (256x500 from 1M rows) measured 4.6 ms at the
+    natural 23-column width vs 2.07 ms at 64 columns (256-byte rows) —
+    the padding halves the serving featurize stage for 2.8x the table
+    bytes. ``assemble_packed_jnp`` accepts padded rows directly.
+    """
+    w = table.shape[-1]
+    if w >= width:
+        return table
+    pad = [(0, 0)] * (table.ndim - 1) + [(0, width - w)]
+    if isinstance(table, np.ndarray):
+        return np.pad(table, pad)
+    import jax.numpy as jnp
+
+    return jnp.pad(table, pad)
+
+
 def assemble_packed_jnp(user_vec, item_mat):
-    """On-device feature assembly: (24,), (C,23) → (C,50) in column order.
+    """On-device feature assembly: (24,), (C,23+) → (C,50) in column
+    order (trailing item columns beyond the 23-column contract are
+    ignored, so gather-padded tables — ``pad_packed_width`` — feed in
+    unchanged).
 
     Pure jnp so it fuses into the jitted serving path; replaces the
     reference's per-candidate python loop (``recommender.py:224-261``).
@@ -180,8 +208,9 @@ def assemble_packed_jnp(user_vec, item_mat):
 
     nu, ni = len(USER_SCALAR_COLS), len(ITEM_SCALAR_COLS)
     c = item_mat.shape[0]
-    u_scal, u_genre = user_vec[:nu], user_vec[nu:]
-    i_scal, i_genre = item_mat[:, :ni], item_mat[:, ni:]
+    u_scal, u_genre = user_vec[:nu], user_vec[nu:nu + N_GENRES]
+    i_scal = item_mat[:, :ni]
+    i_genre = item_mat[:, ni:ni + N_GENRES]
     rating_diff = u_scal[0] - i_scal[:, 0]
     pop_ratio = u_scal[1] / (i_scal[:, 1] + 1e-8)
     affinity = i_genre @ u_genre

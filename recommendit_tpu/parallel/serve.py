@@ -36,7 +36,9 @@ def make_sharded_serve_fn(
     item_corpus: jnp.ndarray,     # (N, D) row-sharded on 'model'
     item_ids: jnp.ndarray,        # (N,) replicated, maps corpus row → item id
     user_packed: jnp.ndarray,     # (n_users+1, 24) replicated
-    item_packed: jnp.ndarray,     # (n_items+1, 23) replicated
+    item_packed: jnp.ndarray,     # (n_items+1, 23+) replicated; callers
+                                  # should pre-pad via
+                                  # schema.pad_packed_width (2.2x gather)
     score_fn: Callable,           # (…, F) raw feats → (…,) ranker scores
     n_candidates: int = 500,
     k_out: int = 100,

@@ -32,6 +32,7 @@ from recommendit_tpu.features.schema import (
     assemble_packed_jnp,
     pack_item_features,
     pack_user_features,
+    pad_packed_width,
 )
 from recommendit_tpu.features.store import FeatureStore
 from recommendit_tpu.models.ranker import LambdaRankScorer
@@ -178,7 +179,9 @@ class RecommendationPipeline:
                 ip = np.load(snap_i, mmap_mode="r")
                 if up.shape[0] >= n_users + 1 and ip.shape[0] >= n_items + 1:
                     self._user_packed = jnp.asarray(up[: n_users + 1])
-                    self._item_packed = jnp.asarray(ip[: n_items + 1])
+                    self._item_packed = jnp.asarray(
+                        pad_packed_width(np.asarray(ip[: n_items + 1]))
+                    )
                     self._n_users = n_users
                     logger.info("Loaded packed feature snapshot from %s",
                                 self.features_dir)
@@ -200,7 +203,9 @@ class RecommendationPipeline:
             np.save(snap_u, user_packed)
             np.save(snap_i, item_packed)
         self._user_packed = jnp.asarray(user_packed)
-        self._item_packed = jnp.asarray(item_packed)
+        # width-pad ONCE at load: TPU row gathers are latency-bound and
+        # 2.2x faster at 256-byte rows (features/schema.py)
+        self._item_packed = jnp.asarray(pad_packed_width(item_packed))
         self._n_users = n_users
         self._maybe_build_seen(data, n_users, n_items)
 
@@ -442,7 +447,8 @@ class RecommendationPipeline:
 
         self.feature_store.store_item_features(item_id, features)
         if 0 <= item_id < self._item_packed.shape[0]:
-            vec = jnp.asarray(item_dict_to_packed(features))
+            vec = jnp.asarray(pad_packed_width(item_dict_to_packed(features),
+                                               self._item_packed.shape[1]))
             self._item_packed = self._item_packed.at[item_id].set(vec)
 
     # ------------------------------------------------------------------ #
