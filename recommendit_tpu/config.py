@@ -125,6 +125,10 @@ class Settings:
     # trained against, and single-fold rankers measurably overfit their
     # one inner tower's score geometry.
     RANKER_CAND_FOLDS: int = 2
+    # Disk cache for per-fold candidate frames ("" = off): a fold's frame
+    # depends on the data slice + inner-tower + candidate-gen knobs only,
+    # so ranker-family/loss A/Bs skip the inner-tower retrains entirely.
+    RANKER_FOLD_CACHE_DIR: str = ""
     # cap on candidate-mode training queries (users are subsampled past
     # this — keeps the feature frame bounded at ML-25M-scale row counts;
     # ~6k users at ML-1M scale, so a no-op there)
@@ -201,6 +205,10 @@ class Settings:
     MICRO_BATCH: bool = False    # coalesce concurrent requests into one device call
     MICRO_BATCH_MAX: int = 256
     MICRO_BATCH_WAIT_MS: float = 2.0
+    # Re-measure the retrieval/ranking device-time split every N fused
+    # serve calls (background thread; 0 = load-time measurement only).
+    # See serving/recommender.py::recalibrate_stage_split.
+    STAGE_RECAL_EVERY: int = 20_000
 
     # --- Host-resident (>HBM) embedding tables (no reference equivalent;
     # DLRM-style CPU offload — training/host_train.py) ---

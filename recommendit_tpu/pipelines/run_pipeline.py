@@ -49,6 +49,7 @@ class PipelineOrchestrator:
         features_dir: str = "data/features",
         synthetic: bool = False,
         eval_users: int = 200,
+        respect_cfg_paths: bool = False,
     ):
         self.cfg = cfg or default_settings
         self.data_dir = data_dir or self.cfg.DATA_DIR
@@ -58,12 +59,19 @@ class PipelineOrchestrator:
         self.eval_users = eval_users
         self.stage_times: Dict[str, float] = {}
         self._data: Optional[MovieLensData] = None
-        self.cfg = self.cfg.replace(
-            EMBEDDING_MODEL_PATH=str(self.models_dir / "two_tower.npz"),
-            INDEX_PATH=str(self.models_dir / "mips.index.npz"),
-            RANKER_MODEL_PATH=str(self.models_dir / "ranker.npz"),
-            DATA_DIR=self.data_dir,
-        )
+        # remap artifact paths into models_dir; respect_cfg_paths=True
+        # keeps any path the caller set away from its Settings default
+        # (e.g. scripts/ranker_ab.py's per-variant ranker files)
+        remap = {
+            "EMBEDDING_MODEL_PATH": str(self.models_dir / "two_tower.npz"),
+            "INDEX_PATH": str(self.models_dir / "mips.index.npz"),
+            "RANKER_MODEL_PATH": str(self.models_dir / "ranker.npz"),
+        }
+        if respect_cfg_paths:
+            defaults = Settings()
+            remap = {k: v for k, v in remap.items()
+                     if getattr(self.cfg, k) == getattr(defaults, k)}
+        self.cfg = self.cfg.replace(**remap, DATA_DIR=self.data_dir)
 
     # ------------------------------------------------------------------ #
 

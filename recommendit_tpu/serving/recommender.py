@@ -372,23 +372,38 @@ class RecommendationPipeline:
         ids, _, _ = self._serve_fn(jnp.asarray(1, jnp.int32))
         jax.block_until_ready(ids)
 
-        # Calibrate the per-stage latency split: the hot path is ONE fused
-        # device call, so stage times can't be observed per request without
-        # splitting it (which would cost a host round-trip). Instead, time
-        # a standalone embed+retrieve sub-program at load and attribute
-        # each fused call's device time by the measured ratio (the
-        # reference wraps separate FAISS/LightGBM calls, recommender.py
-        # :310-341 — here both run inside one XLA program).
+        # Per-stage latency split: the hot path is ONE fused device call,
+        # so stage times can't be observed per request without splitting
+        # it (which would cost a host round-trip). Instead MEASURE a
+        # standalone embed+retrieve sub-program (the reference wraps
+        # separate FAISS/LightGBM calls, recommender.py:310-341 — here
+        # both run inside one XLA program) and attribute each fused
+        # call's device time by the measured ratio. Unlike round 3's
+        # load-time-only calibration, the measurement now refreshes
+        # periodically during serving (every STAGE_RECAL_EVERY fused
+        # calls, on a daemon thread so no request stalls) and its
+        # provenance is reported in stats().
         @jax.jit
         def retrieve_only(user_id):
             q = user_tower(params, user_id[None])
             rvals, pos = retrieve(q)
             return rvals
 
+        self._retrieve_only_fn = retrieve_only
         self._retrieval_fraction = 0.5
-        try:
-            import time as _time
+        self._stage_calibration = {"measured": False}
+        self._calls_since_recal = 0
+        self._recal_thread = None
+        self.recalibrate_stage_split()
 
+    def recalibrate_stage_split(self) -> dict:
+        """(Re-)measure the retrieval/ranking device-time split by timing
+        the standalone embed+retrieve sub-program against the full fused
+        call, RTT-subtracted. Returns and stores the calibration record
+        (also served under ``stats()['stage_split']``)."""
+        import time as _time
+
+        try:
             def _med(fn, uids):
                 ts = []
                 for u in uids:  # distinct inputs: remote TPU memoizes
@@ -407,21 +422,50 @@ class RecommendationPipeline:
                 _med(noop, [i for i in range(7)]) for _ in range(3)
             )
             uids = [1 + (i % max(1, self._n_users)) for i in range(15)]
-            jax.block_until_ready(retrieve_only(jnp.asarray(1, jnp.int32)))
-            t_retr = max(1e-6, _med(retrieve_only, uids) - rtt)
+            jax.block_until_ready(
+                self._retrieve_only_fn(jnp.asarray(1, jnp.int32)))
+            t_retr = max(1e-6, _med(self._retrieve_only_fn, uids) - rtt)
             t_full = max(1e-6, _med(self._serve_fn, uids) - rtt)
-            if t_full > 0:
-                self._retrieval_fraction = min(0.95, max(0.05, t_retr / t_full))
+            self._retrieval_fraction = min(0.95, max(0.05, t_retr / t_full))
+            self._stage_calibration = {
+                "measured": True,
+                "retrieval_fraction": round(self._retrieval_fraction, 3),
+                "retrieve_only_ms": round(t_retr * 1e3, 3),
+                "full_call_ms": round(t_full * 1e3, 3),
+                "rtt_ms": round(rtt * 1e3, 3),
+                "at_unix": round(_time.time(), 1),
+            }
             logger.info(
-                "Stage split calibrated: retrieval %.0f%% / ranking %.0f%% "
+                "Stage split measured: retrieval %.0f%% / ranking %.0f%% "
                 "(retrieve %.2f ms, full %.2f ms)",
                 100 * self._retrieval_fraction,
                 100 * (1 - self._retrieval_fraction),
                 t_retr * 1e3, t_full * 1e3,
             )
         except Exception:
-            logger.warning("Stage-split calibration failed; using 50/50",
-                           exc_info=True)
+            logger.warning("Stage-split calibration failed; keeping "
+                           "previous split", exc_info=True)
+        self._calls_since_recal = 0
+        return self._stage_calibration
+
+    def _maybe_recalibrate(self) -> None:
+        """Kick a background re-measurement every STAGE_RECAL_EVERY fused
+        calls (0 disables). Daemon thread: requests never block on it."""
+        every = getattr(self.cfg, "STAGE_RECAL_EVERY", 0)
+        if not every:
+            return
+        self._calls_since_recal += 1
+        if self._calls_since_recal < every:
+            return
+        t = self._recal_thread
+        if t is not None and t.is_alive():
+            return
+        import threading
+
+        self._calls_since_recal = 0
+        self._recal_thread = threading.Thread(
+            target=self.recalibrate_stage_split, daemon=True)
+        self._recal_thread.start()
 
     # ------------------------------------------------------------------ #
     # Online feature updates                                               #
@@ -543,6 +587,7 @@ class RecommendationPipeline:
         frac = getattr(self, "_retrieval_fraction", 0.5)
         self.retrieval_latency.record(device_ms * frac)
         self.ranking_latency.record(device_ms * (1.0 - frac))
+        self._maybe_recalibrate()
 
         # seen candidates carry -inf scores out of the fused call; when a
         # heavy user's candidate set is mostly seen, fewer than k finite
@@ -671,6 +716,11 @@ class RecommendationPipeline:
             "retrieval_p99_ms": round(self.retrieval_latency.p99, 2),
             "ranking_p50_ms": round(self.ranking_latency.p50, 2),
             "ranking_p99_ms": round(self.ranking_latency.p99, 2),
+            # provenance: the per-stage numbers above split the fused
+            # call's device time by this MEASURED ratio (see
+            # recalibrate_stage_split; refreshed during serving)
+            "stage_split": getattr(
+                self, "_stage_calibration", {"measured": False}),
             **(
                 {"micro_batcher": self._batcher.stats}
                 if self._batcher is not None

@@ -181,10 +181,14 @@ class RankerTrainer:
             hi = int(len(r) * (1.0 - j * f))
             lo = int(len(r) * (1.0 - (j + 1) * f))
             try:
+                # per-fold rng: folds are independent of each other and of
+                # fold count, making the fold frames cacheable across
+                # ranker-config A/Bs (RANKER_FOLD_CACHE_DIR)
                 frames.extend(
                     self._fold_candidate_frames(
                         r.iloc[:lo].reset_index(drop=True), r.iloc[lo:hi],
-                        rng, fold=j,
+                        np.random.default_rng(cfg.SEED + 1_000_003 * (j + 1)),
+                        fold=j,
                     )
                 )
             except RuntimeError:
@@ -221,6 +225,39 @@ class RankerTrainer:
                 test_feats = test_feats.drop(columns=[col])
         return train_feats.copy(), test_feats.copy(), extra
 
+    def _fold_cache_path(self, fold: int, hist, label):
+        """Disk-cache key for one fold's candidate frame: the frame
+        depends only on the dataset slice, the inner-tower config, and
+        the candidate-generation knobs — NOT on the ranker family/loss,
+        so config A/Bs (scripts/ranker_ab.py) can skip the ~15-min inner
+        tower retrain per fold. Off unless RANKER_FOLD_CACHE_DIR is set."""
+        d = self.cfg.RANKER_FOLD_CACHE_DIR
+        if not d:
+            return None
+        import hashlib
+        import json as _json
+
+        cfg = self.cfg
+        key = {
+            "fold": fold,
+            "n_hist": len(hist), "n_label": len(label),
+            "t0": int(hist["timestamp"].iloc[0]) if len(hist) else 0,
+            "t1": int(hist["timestamp"].iloc[-1]) if len(hist) else 0,
+            "seed": cfg.SEED, "epochs": cfg.TRAIN_EPOCHS,
+            "dim": cfg.EMBEDDING_DIM, "temp": cfg.SOFTMAX_TEMPERATURE,
+            "idx_dtype": cfg.INDEX_DTYPE, "k": cfg.TOP_K_CANDIDATES,
+            "filter_seen": cfg.FILTER_SEEN,
+            "negs": cfg.RANKER_CAND_NEGS,
+            "max_q": cfg.RANKER_MAX_QUERIES,
+            "label_frac": cfg.RANKER_LABEL_FRACTION,
+        }
+        h = hashlib.sha1(
+            _json.dumps(key, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        from pathlib import Path as _P
+
+        return _P(d) / f"cand_fold{fold}_{h}.parquet"
+
     def _fold_candidate_frames(self, hist, label, rng, fold: int = 0):
         """One inner split's candidate frames: train an inner tower on
         ``hist``, retrieve serving-shaped candidates, label them from
@@ -229,6 +266,11 @@ class RankerTrainer:
         import tempfile
 
         cfg = self.cfg
+        cache = self._fold_cache_path(fold, hist, label)
+        if cache is not None and cache.exists():
+            logger.info("fold %d candidate frame: cache hit (%s)", fold,
+                        cache)
+            return [pd.read_parquet(cache)]
         inner = MovieLensData(
             ratings=hist, users=self.data.users, movies=self.data.movies
         )
@@ -334,7 +376,12 @@ class RankerTrainer:
             df["item_id"] = cand
             df["label"] = y.astype(np.int64)
             frames.append(df)
-        return frames
+        out = pd.concat(frames, ignore_index=True)
+        if cache is not None:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            out.to_parquet(cache)
+            logger.info("fold %d candidate frame: cached to %s", fold, cache)
+        return [out]
 
     def _load_tower_embeddings(self):
         """(model, user_embs (n_users+1, D), item_embs (n_items, D)) from

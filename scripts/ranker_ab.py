@@ -51,6 +51,7 @@ def main():
         models_dir=f"{args.work_dir}/models",
         features_dir=f"{args.work_dir}/features",
         synthetic=False, eval_users=args.eval_users,
+        respect_cfg_paths=True,  # keep the per-variant ranker path
     )
     t0 = time.time()
     trainer = orch.run_stage("ranker")
@@ -59,7 +60,10 @@ def main():
 
     rows = []
     for beta in [float(b) for b in args.betas.split(",")]:
-        orch.cfg = cfg.replace(RANKER_BLEND_RETRIEVAL=beta)
+        # mutate the ORCHESTRATOR's cfg (it holds the models_dir-remapped
+        # artifact paths; rebuilding from the raw cfg would point the
+        # evaluate stage at non-existent relative paths)
+        orch.cfg = orch.cfg.replace(RANKER_BLEND_RETRIEVAL=beta)
         rep = orch.run_stage("evaluate")
         rows.append({
             "beta": beta,

@@ -113,6 +113,18 @@ class TestRealServing:
         assert body["index_stats"]["recall"] == 1.0
         assert body["ranker_info"]["model_type"] == "lambdarank-mlp"
 
+    def test_stage_split_is_measured_and_refreshable(self, app):
+        """Per-stage latencies are attributed by a MEASURED split with
+        provenance in stats, and the measurement can be re-run."""
+        p = app.pipeline
+        cal = p.get_stats()["stage_split"]
+        assert cal["measured"] is True
+        assert 0.05 <= cal["retrieval_fraction"] <= 0.95
+        assert cal["full_call_ms"] > 0 and cal["retrieve_only_ms"] > 0
+        cal2 = p.recalibrate_stage_split()
+        assert cal2["measured"] is True
+        assert cal2["at_unix"] >= cal["at_unix"]
+
     def test_items_endpoint_real(self, app):
         status, body, _ = app.handle("GET", "/items/1")
         assert status == 200
