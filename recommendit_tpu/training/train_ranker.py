@@ -241,8 +241,9 @@ class RankerTrainer:
         key = {
             "fold": fold,
             "n_hist": len(hist), "n_label": len(label),
-            "t0": int(hist["timestamp"].iloc[0]) if len(hist) else 0,
-            "t1": int(hist["timestamp"].iloc[-1]) if len(hist) else 0,
+            # str(): timestamps may be ints or pandas Timestamps
+            "t0": str(hist["timestamp"].iloc[0]) if len(hist) else "",
+            "t1": str(hist["timestamp"].iloc[-1]) if len(hist) else "",
             "seed": cfg.SEED, "epochs": cfg.TRAIN_EPOCHS,
             "dim": cfg.EMBEDDING_DIM, "temp": cfg.SOFTMAX_TEMPERATURE,
             "idx_dtype": cfg.INDEX_DTYPE, "k": cfg.TOP_K_CANDIDATES,

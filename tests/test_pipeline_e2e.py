@@ -180,6 +180,38 @@ class TestRealServing:
         r2 = [r.item_id for r in p2.get_recommendations(5, k=8, use_cache=False)]
         assert r1 == r2
 
+    def test_fold_cache_hit_reproduces_ranker(self, trained_artifacts):
+        """RANKER_FOLD_CACHE_DIR: the second ranker train at the same
+        knobs reuses the cached candidate frames (no inner-tower retrain)
+        and produces an identically-scoring ranker."""
+        orch, _, tmp = trained_artifacts
+        from recommendit_tpu.pipelines.run_pipeline import PipelineOrchestrator
+
+        import numpy as np
+
+        outs = []
+        for i in range(2):
+            cfg = orch.cfg.replace(
+                RANKER_FOLD_CACHE_DIR=str(tmp / "fold_cache"),
+                RANKER_MODEL_PATH=str(tmp / f"models/ranker_c{i}.npz"),
+            )
+            o = PipelineOrchestrator(
+                cfg=cfg, data_dir=str(tmp / "ml"),
+                models_dir=str(tmp / "models"),
+                features_dir=str(tmp / "features"), synthetic=True,
+                respect_cfg_paths=True,
+            )
+            o.run_stage("ranker")
+            from recommendit_tpu.models import load_ranker
+
+            r = load_ranker(str(tmp / f"models/ranker_c{i}.npz"))
+            x = np.random.default_rng(0).normal(
+                size=(8, len(r.feature_names))).astype(np.float32)
+            outs.append(r.predict(x))
+        cache_files = list((tmp / "fold_cache").glob("*.parquet"))
+        assert cache_files, "fold cache was not written"
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
     def test_gbdt_ranker_serves(self, trained_artifacts):
         """RANKER_TYPE=gbdt trains and serves through the same fused path."""
         orch, _, tmp = trained_artifacts
