@@ -315,6 +315,25 @@ class PipelineOrchestrator:
             report["retrieval_only_recall@20"] = retr_report["recall@20"]
             report["retrieval_only_mrr"] = retr_report["mrr"]
 
+            # paired per-user full-vs-retrieval statistic: the two rows
+            # score the SAME users, so the honest noise model is the
+            # paired difference, not two independent means (per-user NDCG
+            # variance at sparse relevance dwarfs the ranker delta)
+            from recommendit_tpu.evaluation.metrics import ndcg_at_k
+
+            d = np.asarray([
+                ndcg_at_k(recs.get(u, []), truth[u], 10)
+                - ndcg_at_k(retr_recs[u], truth[u], 10)
+                for u in known if truth.get(u)
+            ])
+            if len(d) > 1:
+                se = float(d.std(ddof=1) / np.sqrt(len(d)))
+                report["paired_ndcg10_full_minus_retrieval"] = float(d.mean())
+                report["paired_ndcg10_se"] = se
+                report["paired_ndcg10_t"] = (
+                    float(d.mean() / se) if se > 0 else 0.0
+                )
+
         out = self.models_dir / "evaluation.json"
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(report, indent=2, default=float))

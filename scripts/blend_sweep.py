@@ -57,6 +57,8 @@ def main():
             "full_mrr": rep.get("mrr"),
             "retrieval_only_ndcg@10": rep.get("retrieval_only_ndcg@10"),
             "retrieval_only_recall@20": rep.get("retrieval_only_recall@20"),
+            "paired_diff": rep.get("paired_ndcg10_full_minus_retrieval"),
+            "paired_t": rep.get("paired_ndcg10_t"),
             "n_eval_users": rep.get("n_users"),
         }
         rows.append(row)
