@@ -470,9 +470,16 @@ def mips_topk_fused_auto(
     XLA approx path's 106-131k at 0.984 (mips_ab.json).
     """
     n = item_embs.shape[0] if n_valid is None else n_valid
-    window = _LANE // 2                       # 64: the measured sweet spot
-    # need n/window >= max(k, 512) candidates for the tail reduce to be
-    # meaningful and the out-block lane width to stay efficient
+    # Size the window so the tail reduce sees ~16k candidates regardless
+    # of corpus size: the tail's PartialReduce cost scales with N/window,
+    # and at fixed window=64 a 10M corpus left 156k candidates per query
+    # — the sort swamped the kernel (5.8k QPS measured vs 23k after this
+    # rule). recall model ≈ 1 − (k−1)·window/(2N) IMPROVES with N at
+    # fixed N/window (0.986 at 1M/w64, 0.987 at 10M/w512).
+    target_cand = 16384
+    window = 1 << max(3, (n // target_cand)).bit_length() - 1
+    window = max(8, min(512, window))
+    # still need enough candidates to cover k
     while window > 1 and n // window < max(k, 4 * window):
         window //= 2
     if window < 8:
@@ -481,5 +488,7 @@ def mips_topk_fused_auto(
         return mips_topk(queries[:, :], item_embs[:n].astype(jnp.float32),
                          k, block_items, "exact")
     bn = max(window, block_items - block_items % window)
+    if bn % window:
+        bn = window * max(1, bn // window)
     return mips_topk_window_im(queries, item_embs, k, bn, window,
                                interpret, precision, n_valid)
