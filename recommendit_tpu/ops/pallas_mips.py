@@ -301,10 +301,14 @@ def mips_topk_window(
     items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
     win_per_block = bn // window
     n_cand = n_blocks * win_per_block
-    if k > n_cand:
+    # validate against the VALID candidate count: padded windows beyond
+    # n_valid only ever hold -3e38 sentinels with out-of-range indices
+    n_valid_cand = -(-n_valid // window)
+    if k > n_valid_cand:
         raise ValueError(
-            f"k={k} exceeds candidate count {n_cand}; lower `window` "
-            f"(N/window must be >= k)"
+            f"k={k} exceeds valid candidate count {n_valid_cand} "
+            f"(n_valid={n_valid}, window={window}); lower `window` "
+            f"(n_valid/window must be >= k)"
         )
 
     kernel = functools.partial(
@@ -408,10 +412,14 @@ def mips_topk_window_im(
     items = jnp.pad(item_embs, ((0, pad), (0, 0))) if pad else item_embs
     win_per_block = bn // window
     n_cand = n_blocks * win_per_block
-    if k > n_cand:
+    # see mips_topk_window: padded windows hold sentinels, so k must fit
+    # in the windows that cover real rows
+    n_valid_cand = -(-n_valid // window)
+    if k > n_valid_cand:
         raise ValueError(
-            f"k={k} exceeds candidate count {n_cand}; lower `window` "
-            f"(N/window must be >= k)"
+            f"k={k} exceeds valid candidate count {n_valid_cand} "
+            f"(n_valid={n_valid}, window={window}); lower `window` "
+            f"(n_valid/window must be >= k)"
         )
 
     kernel = functools.partial(
@@ -477,7 +485,14 @@ def mips_topk_fused_auto(
     # rule). recall model ≈ 1 − (k−1)·window/(2N) IMPROVES with N at
     # fixed N/window (0.986 at 1M/w64, 0.987 at 10M/w512).
     target_cand = 16384
-    window = 1 << max(3, (n // target_cand)).bit_length() - 1
+    # Round the window UP to the next power of two so the tail sees AT
+    # MOST target_cand candidates. The previous floor-rounding picked
+    # window=32 at n=1,000,000 (31,250 candidates — 2x the design
+    # target); the benchmarked configuration (mips_ab.json) is window=64
+    # at ~1M, which this rule now reproduces for any ~1M corpus
+    # (ceil(1e6/16384)=62 -> 64; 2^20/16384=64 -> 64 exactly).
+    ratio = -(-n // target_cand)
+    window = 1 << max(0, ratio - 1).bit_length()
     window = max(8, min(512, window))
     # still need enough candidates to cover k
     while window > 1 and n // window < max(k, 4 * window):

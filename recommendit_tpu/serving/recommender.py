@@ -394,6 +394,9 @@ class RecommendationPipeline:
         self._stage_calibration = {"measured": False}
         self._calls_since_recal = 0
         self._recal_thread = None
+        import threading as _threading
+
+        self._recal_lock = _threading.Lock()
         self.recalibrate_stage_split()
 
     def recalibrate_stage_split(self) -> dict:
@@ -434,6 +437,10 @@ class RecommendationPipeline:
                 "full_call_ms": round(t_full * 1e3, 3),
                 "rtt_ms": round(rtt * 1e3, 3),
                 "at_unix": round(_time.time(), 1),
+                # background refreshes time _serve_fn while live traffic
+                # shares the device, so the split can be skewed by
+                # contention — metrics attribution only, hot path unaffected
+                "concurrent_with_traffic": self._calls_since_recal > 0,
             }
             logger.info(
                 "Stage split measured: retrieval %.0f%% / ranking %.0f%% "
@@ -454,18 +461,22 @@ class RecommendationPipeline:
         every = getattr(self.cfg, "STAGE_RECAL_EVERY", 0)
         if not every:
             return
-        self._calls_since_recal += 1
-        if self._calls_since_recal < every:
-            return
-        t = self._recal_thread
-        if t is not None and t.is_alive():
-            return
         import threading
 
-        self._calls_since_recal = 0
-        self._recal_thread = threading.Thread(
-            target=self.recalibrate_stage_split, daemon=True)
-        self._recal_thread.start()
+        # counter + thread handoff under a lock: without it two threads
+        # racing past the threshold could both spawn a recalibration
+        # (round-4 advisor finding)
+        with self._recal_lock:
+            self._calls_since_recal += 1
+            if self._calls_since_recal < every:
+                return
+            t = self._recal_thread
+            if t is not None and t.is_alive():
+                return
+            self._calls_since_recal = 0
+            self._recal_thread = threading.Thread(
+                target=self.recalibrate_stage_split, daemon=True)
+            self._recal_thread.start()
 
     # ------------------------------------------------------------------ #
     # Online feature updates                                               #

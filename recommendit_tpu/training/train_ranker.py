@@ -246,6 +246,11 @@ class RankerTrainer:
             "t1": str(hist["timestamp"].iloc[-1]) if len(hist) else "",
             "seed": cfg.SEED, "epochs": cfg.TRAIN_EPOCHS,
             "dim": cfg.EMBEDDING_DIM, "temp": cfg.SOFTMAX_TEMPERATURE,
+            # every inner-tower training knob that changes the candidate
+            # frames must be in the key, or an A/B varying it would
+            # silently reuse stale folds (round-4 advisor finding)
+            "loss_mode": cfg.LOSS_MODE, "lr": cfg.LEARNING_RATE,
+            "bs": cfg.BATCH_SIZE, "hidden": cfg.HIDDEN_DIM,
             "idx_dtype": cfg.INDEX_DTYPE, "k": cfg.TOP_K_CANDIDATES,
             "filter_seen": cfg.FILTER_SEEN,
             "negs": cfg.RANKER_CAND_NEGS,

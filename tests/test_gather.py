@@ -39,6 +39,19 @@ class TestGatherRows:
         np.testing.assert_array_equal(
             np.asarray(out), np.asarray(tbl)[np.asarray(idx)])
 
+    def test_out_of_range_indices_clamp_like_take(self):
+        """Regression (round-4 advice #4): out-of-range indices must
+        clamp (jnp.take mode='clip') on every backend instead of
+        DMA-ing arbitrary HBM on TPU."""
+        rng = np.random.default_rng(4)
+        tbl = jnp.asarray(rng.normal(size=(200, 16)), jnp.float32)
+        idx = jnp.asarray([-5, 0, 199, 200, 10_000], jnp.int32)
+        expect = np.asarray(jnp.take(tbl, idx, axis=0, mode="clip"))
+        np.testing.assert_array_equal(
+            np.asarray(gather_rows(tbl, idx, 128, 4, True)), expect)
+        np.testing.assert_array_equal(
+            np.asarray(take_rows(tbl, idx)), expect)
+
     def test_take_rows_cpu_fallback(self):
         rng = np.random.default_rng(3)
         tbl = jnp.asarray(rng.normal(size=(100, 8)), jnp.float32)
