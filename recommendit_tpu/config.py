@@ -227,6 +227,11 @@ class Settings:
     # corpus storage dtype: float32 | bfloat16 (half HBM) | int8 (quarter
     # HBM + int8 MXU path, stochastic-rounding per-row quantization)
     INDEX_DTYPE: str = "float32"
+    # retrieval mode — the recall/speed knob the reference exposes as
+    # FAISS_N_LISTS/N_PROBE (src/config.py:22-23, faiss_index.py:224):
+    # exact | verified (certified-exact fast path) | approx
+    # (lax.approx_max_k) | fused (Pallas window kernel, 1M+ corpora)
+    INDEX_MODE: str = "exact"
     USE_PALLAS: bool = True              # use fused kernels when on TPU
     COMPUTE_DTYPE: str = "float32"       # 'bfloat16' on large configs
 

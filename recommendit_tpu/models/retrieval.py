@@ -52,6 +52,16 @@ class MIPSIndex:
         """
         if dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported corpus dtype: {dtype!r}")
+        if mode not in ("exact", "verified", "approx", "fused"):
+            raise ValueError(
+                f"unsupported index mode: {mode!r} "
+                "(exact | verified | approx | fused)"
+            )
+        if dtype == "int8" and mode in ("verified", "fused"):
+            raise ValueError(
+                f"mode={mode!r} is not available for the int8 corpus path "
+                "(use exact or approx)"
+            )
         self.embedding_dim = embedding_dim
         self.block_size = block_size
         self.mode = mode

@@ -78,6 +78,7 @@ class IndexBuilder:
         index = MIPSIndex(
             embedding_dim=embed_dim,
             block_size=self.cfg.RETRIEVAL_BLOCK_ITEMS,
+            mode=self.cfg.INDEX_MODE,
             dtype=self.cfg.INDEX_DTYPE,
             quant_seed=self.cfg.SEED,
         )
