@@ -237,11 +237,12 @@ def bench_retrieval_large(jnp, jax):
 
 
 def bench_retrieval_fused(jnp, jax):
-    """Fused Pallas window kernel at 1M×128 over a bf16 corpus — the
-    production `mode="fused"` route. Measured recall at this exact shape:
-    0.9856 (vs XLA approx 0.9835) — single-process A/B in mips_ab.json;
-    this bench records the throughput envelope at the serving batch (256)
-    and the kernel's sweet spot (1024)."""
+    """Production `mode="fused"` route at 1M×128 over a bf16 corpus.
+    Round-5 routing: b256 exercises the XLA approx engine (the kernel's
+    exact tail dominates small batches — tail_probe_q256.json), b1024
+    the Pallas window kernel (187k QPS at this decimal-million shape,
+    fused_decomp_q1024.json). Measured recall: kernel 0.9856 / scan
+    0.9835 (mips_ab.json)."""
     from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
 
     n_items, dim, k, block = 1_000_000, 128, 500, 4096

@@ -198,6 +198,13 @@ def mips_topk_fused(
 
 _LANE = 128
 
+# Batch threshold for the fused_auto engine routing: below this the XLA
+# approx scan wins (the kernel's exact tail over ~16k window maxima is
+# flat ~1.7 ms and dominates small batches); at/above it the kernel's
+# score-materialization saving wins. Measured crossover is between 256
+# (kernel 0.85x the scan) and 1024 (kernel 1.76x) at 1M x 128, k=500.
+_KERNEL_MIN_Q = 512
+
 # "default" = single-pass bf16-grade MXU (the approx production setting,
 # same as the XLA approx path); "highest" = multi-pass true-f32 (pin when
 # score VALUES must match f32 references, at ~3-6x matmul cost)
@@ -467,17 +474,34 @@ def mips_topk_fused_auto(
     precision: str = "default",
     n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Production entry for the fused kernel: picks the largest window
-    (reduction factor) the corpus supports, and falls back to the XLA
-    windowed path when the corpus is too small for the reduction to pay
-    (the kernel's win is skipping score materialization — at < ~64k items
-    the score matrix is VMEM-resident for XLA anyway).
+    """Production entry for large-corpus retrieval: routes each (batch,
+    corpus) shape to the fastest engine — measured, not modeled
+    (fused_decomp_q{256,1024}.json, tail_probe_q256.json, round 5):
 
-    Shape logic is Python-on-static-shapes: safe under jit.
-    On-chip A/B (1M x 128, k=500, v5e): 225k QPS at recall 0.986 vs the
-    XLA approx path's 106-131k at 0.984 (mips_ab.json).
+    * q >= _KERNEL_MIN_Q: the Pallas window kernel. At 1M x 128 q=1024
+      it measures 187k QPS (dec. million, masked tail; 225k at 2^20) vs
+      the XLA approx scan's ~106k — the kernel's win is skipping the
+      (Q, N) score materialization.
+    * q < _KERNEL_MIN_Q: the XLA approx scan (`mips_topk` approx,
+      recall 0.984 at 1M x 128). At q=256 the fused call is bounded by
+      its exact top-500 tail over ~16k window maxima (~1.7 ms however
+      computed — quarters/halves/approx all within 10%, lax.top_k 2x
+      worse), so the kernel tops out at ~108k QPS vs the scan's ~127k.
+    * tiny corpora (< ~64k items): the exact scan (score matrix is
+      VMEM-resident for XLA anyway; recall 1.0).
+
+    Shape logic is Python-on-static-shapes: safe under jit. Recall at
+    the production settings: kernel 0.9856, scan 0.9835 (mips_ab.json) —
+    the routing never drops below the advertised 0.98.
     """
     n = item_embs.shape[0] if n_valid is None else n_valid
+    q_batch = queries.shape[0]
+    if q_batch < _KERNEL_MIN_Q and n > 65536 and not interpret:
+        # interpret=True pins the kernel path (CPU tests exercise it)
+        from recommendit_tpu.ops.topk import mips_topk
+
+        return mips_topk(queries, item_embs, k, 65536, "approx",
+                         False, n_valid)
     # Size the window so the tail reduce sees ~16k candidates regardless
     # of corpus size: the tail's PartialReduce cost scales with N/window,
     # and at fixed window=64 a 10M corpus left 156k candidates per query

@@ -57,17 +57,28 @@ def fast_topk(scores, k: int, recall_target: float = 1.0):
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def mips_topk_dense(queries, item_embs, k: int, recall_target: float = 1.0):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def mips_topk_dense(queries, item_embs, k: int, recall_target: float = 1.0,
+                    n_valid: int | None = None):
     """Single-shot top-k: one matmul + partial reduce over the full score
     matrix. Exact at recall_target=1.0 (fast up to ~10^4-item rows, f32
     scoring); recall_target<1 engages the O(N) PartialReduce at default
     matmul precision and is the production mode for very large corpora
-    (55k QPS at 1M x 128 on one v5e)."""
+    (55k QPS at 1M x 128 on one v5e).
+
+    ``n_valid``: number of real corpus rows when the caller pre-padded
+    ``item_embs`` (the fused-index storage layout); the padded tail is
+    masked with one small static update-slice (pad < block columns)."""
+
+    def _mask_tail(scores):
+        if n_valid is not None and n_valid < scores.shape[1]:
+            return scores.at[:, n_valid:].set(-jnp.inf)
+        return scores
+
     if recall_target >= 1.0:
-        scores = _score(queries, item_embs.T, _EXACT)
+        scores = _mask_tail(_score(queries, item_embs.T, _EXACT))
         return _chunked_exact_reduce(scores, k)
-    scores = _score(queries, item_embs.T, None)
+    scores = _mask_tail(_score(queries, item_embs.T, None))
     return fast_topk(scores, k, recall_target)
 
 
@@ -78,11 +89,15 @@ def _scan_topk(
     block_size: int,
     recall_target: float,
     precision=None,
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming blocked top-k: per-block matmul + partial reduce, running
-    exact merge. The full (Q, N) score matrix never materializes."""
+    exact merge. The full (Q, N) score matrix never materializes.
+    ``n_valid``: real row count for caller-pre-padded corpora."""
     q, d = queries.shape
     n = item_embs.shape[0]
+    if n_valid is None:
+        n_valid = n
     bs = min(block_size, n)
     n_blocks = -(-n // bs)
     pad = n_blocks * bs - n
@@ -97,7 +112,7 @@ def _scan_topk(
         block = jax.lax.dynamic_slice(items, (start, 0), (bs, d))
         scores = _score(queries, block.T, precision)  # (Q, bs)
         cols = start + jnp.arange(bs, dtype=jnp.int32)
-        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+        scores = jnp.where(cols[None, :] < n_valid, scores, -jnp.inf)
 
         bvals, bsel = fast_topk(scores, block_k, recall_target)
         bidx = cols[bsel]
@@ -531,7 +546,7 @@ def mips_topk_certified(
     return canonical_tie_order(*out) if canonical else out
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def mips_topk(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -539,6 +554,7 @@ def mips_topk(
     block_size: int = 4096,
     mode: str = "exact",
     canonical: bool = False,
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over the item corpus.
 
@@ -566,9 +582,16 @@ def mips_topk(
     """
     q, d = queries.shape
     n = item_embs.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if n_valid is not None and not (0 < n_valid <= n):
+        raise ValueError(f"n_valid={n_valid} out of range for N={n}")
+    if k > (n if n_valid is None else n_valid):
+        raise ValueError(f"k={k} exceeds corpus size {n_valid or n}")
     if mode == "exact":
+        if n_valid is not None and n_valid < n:
+            # the exact window-max path has no pad mask; score the real
+            # rows only (slice is static; callers on the exact path keep
+            # un-padded corpora, so this is a test/fallback convenience)
+            item_embs = item_embs[:n_valid]
         vals, idx = _exact_topk(queries, item_embs, k)
         return canonical_tie_order(vals, idx) if canonical else (vals, idx)
     if mode != "approx":
@@ -580,8 +603,8 @@ def mips_topk(
     bs = min(block_size, n)
     dense_limit = 512 * 1024 * 1024
     if n <= max(bs, k) or q * n <= dense_limit:
-        return mips_topk_dense(queries, item_embs, k, 0.95)
-    return _scan_topk(queries, item_embs, k, bs, 0.95)
+        return mips_topk_dense(queries, item_embs, k, 0.95, n_valid)
+    return _scan_topk(queries, item_embs, k, bs, 0.95, None, n_valid)
 
 
 def _quantize_queries(queries):

@@ -44,10 +44,18 @@ def free_port() -> int:
 
 def start_server(args, port: int) -> subprocess.Popen:
     env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if getattr(args, "platform", "cpu") == "tpu":
+        # keep the axon plugin env so the server process lands on the
+        # remote chip; the axon site dir must stay FIRST on PYTHONPATH
+        # (CLAUDE.md: clobbering it unregisters the TPU backend)
+        env.pop("JAX_PLATFORMS", None)
+        pythonpath = f"/root/.axon_site:{REPO}"
+    else:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = env.get("JAX_PLATFORMS", "cpu")
+        pythonpath = REPO
     env.update(
-        JAX_PLATFORMS=env.get("JAX_PLATFORMS", "cpu"),
-        PYTHONPATH=REPO,
+        PYTHONPATH=pythonpath,
         EMBEDDING_MODEL_PATH=f"{args.artifacts}/models/two_tower.npz",
         INDEX_PATH=f"{args.artifacts}/models/mips.index.npz",
         RANKER_MODEL_PATH=f"{args.artifacts}/models/ranker.npz",
@@ -167,6 +175,9 @@ def main():
     ap.add_argument("--overload", action="store_true",
                     help="extra phase: saturate a tiny-queue micro-batcher "
                     "and report the 429 share")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="tpu: keep the axon env so the SERVER process "
+                         "runs its jitted hot path on the remote chip")
     ap.add_argument("--startup-timeout", type=float, default=300.0)
     ap.add_argument("--log", default="/tmp/serve_bench.jsonl")
     args = ap.parse_args()
@@ -182,7 +193,8 @@ def main():
             n = max(args.min_requests, lvl * args.requests_per_client)
             row = run_level(url, lvl, n, args.k, args.max_user,
                             args.use_cache)
-            row.update(variant=args.variant, micro_batch=args.micro_batch)
+            row.update(variant=args.variant, micro_batch=args.micro_batch,
+                       platform=args.platform)
             rows.append(row)
             print(json.dumps(row), flush=True)
             with open(args.log, "a") as f:

@@ -286,3 +286,23 @@ class TestFusedAuto:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
         assert (np.asarray(i2) < n).all()
+
+    def test_small_batch_routes_to_scan_with_n_valid(self):
+        """Round-5 engine routing: q < 512 on a big corpus routes to the
+        XLA approx scan (measured faster at serving batches), and the
+        pre-padded fused corpus layout must give the same results as the
+        un-padded corpus through that route."""
+        from recommendit_tpu.ops.pallas_mips import mips_topk_fused_auto
+        rng = np.random.default_rng(5)
+        n, blk = 70_000, 4096
+        q = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+        items = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+        padded = jnp.pad(items, ((0, (-n) % blk), (0, 0)))
+        # interpret=False on CPU: the routing branch fires (q=8 < 512)
+        v1, i1 = mips_topk_fused_auto(q, items, 50, blk, False)
+        v2, i2 = mips_topk_fused_auto(q, padded, 50, blk, False, n_valid=n)
+        assert (np.asarray(i1) < n).all() and (np.asarray(i2) < n).all()
+        # same engine, same valid corpus -> identical results
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-6)
