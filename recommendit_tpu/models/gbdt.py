@@ -595,21 +595,47 @@ class HistGBDTRanker:
             float(self.reg_lambda),
         )
         binned_t_d = jnp.asarray(binned.T)          # (F, n) uint8
-        flat_idx_d = jnp.asarray(chunk_idx.ravel())
-        flat_mask_d = jnp.asarray(chunk_mask.ravel() > 0, jnp.float32)
         scores_d = jnp.zeros(n, jnp.float32)
         key = jax.random.PRNGKey(self.seed)
         lr = self.learning_rate
         logger.info("HistGBDT device backend: %d rows x %d features", n, f)
 
+        # process packed groups in fixed slices: a single vmap over ALL
+        # groups materializes (n_groups, G, G) pairwise intermediates —
+        # ~12 GB at 6.5M rows / G=64 — so map over ~8k-group slices
+        # (~1 GB peak) instead
+        n_groups, gsz = chunk_idx.shape
+        slice_g = min(8192, n_groups)
+        n_slices = -(-n_groups // slice_g)
+        pad_g = n_slices * slice_g - n_groups
+        if pad_g:
+            pad_rows = np.zeros((pad_g, gsz), chunk_idx.dtype)
+            chunk_idx_sl = jnp.asarray(
+                np.concatenate([chunk_idx, pad_rows])
+            ).reshape(n_slices, slice_g, gsz)
+            zpad = jnp.zeros((pad_g, gsz), jnp.float32)
+            chunk_gains_sl = jnp.concatenate(
+                [chunk_gains_d, zpad]).reshape(n_slices, slice_g, gsz)
+            chunk_mask_sl = jnp.concatenate(
+                [chunk_mask_d, zpad]).reshape(n_slices, slice_g, gsz)
+        else:
+            chunk_idx_sl = chunk_idx_d.reshape(n_slices, slice_g, gsz)
+            chunk_gains_sl = chunk_gains_d.reshape(n_slices, slice_g, gsz)
+            chunk_mask_sl = chunk_mask_d.reshape(n_slices, slice_g, gsz)
+        flat_idx_sl = chunk_idx_sl.reshape(-1)
+        flat_mask_sl = chunk_mask_sl.reshape(-1) > 0
+
         @jax.jit
         def round_grad(scores_dev):
-            gch, hch = grad_fn(
-                scores_dev[chunk_idx_d], chunk_gains_d, chunk_mask_d)
-            g = jnp.zeros(n, jnp.float32).at[flat_idx_d].add(
-                gch.ravel() * flat_mask_d)
-            h = jnp.zeros(n, jnp.float32).at[flat_idx_d].add(
-                hch.ravel() * flat_mask_d)
+            def one_slice(sl):
+                idx, gains, mask = sl
+                return grad_fn(scores_dev[idx], gains, mask)
+            gch, hch = jax.lax.map(
+                one_slice, (chunk_idx_sl, chunk_gains_sl, chunk_mask_sl))
+            g = jnp.zeros(n, jnp.float32).at[flat_idx_sl].add(
+                gch.reshape(-1) * flat_mask_sl)
+            h = jnp.zeros(n, jnp.float32).at[flat_idx_sl].add(
+                hch.reshape(-1) * flat_mask_sl)
             return g, h
 
         best_metric, patience = -np.inf, 0

@@ -511,12 +511,16 @@ class RecommendationPipeline:
     # ------------------------------------------------------------------ #
 
     def enable_micro_batching(
-        self, max_batch: int = 256, max_wait_ms: float = 2.0
+        self, max_batch: int = 256, max_wait_ms: float = 2.0,
+        warm_buckets: bool = True,
     ) -> None:
         """Coalesce concurrent requests into one fused device call.
 
         Requests are padded to power-of-two bucket sizes so at most a few
-        executables are compiled.
+        executables are compiled; with ``warm_buckets`` (default) every
+        bucket shape is compiled HERE, at enable time — the round-5 TPU
+        concurrency bench caught each first-hit bucket compile (~5 s) as
+        a p99 spike in the serving path (serve_bench.jsonl, clients=32).
         """
         from recommendit_tpu.serving.batcher import MicroBatcher
 
@@ -534,6 +538,13 @@ class RecommendationPipeline:
             rvals = np.asarray(rvals)
             return [(ids[i], scores[i], rvals[i]) for i in range(n)]
 
+        if warm_buckets:
+            t0 = time.time()
+            for b in buckets:
+                jax.block_until_ready(self._serve_batch_fn(
+                    jnp.ones(b, jnp.int32))[0])
+            logger.info("Warmed %d batch buckets in %.1fs", len(buckets),
+                        time.time() - t0)
         self._batcher = MicroBatcher(batch_fn, max_batch, max_wait_ms)
         logger.info("Micro-batching enabled (max_batch=%d, wait=%.1fms)",
                     max_batch, max_wait_ms)

@@ -72,9 +72,10 @@ def start_server(args, port: int) -> subprocess.Popen:
         else "recommendit_tpu.serving.app"
     )
     cmd = [sys.executable, "-m", mod]
+    slog = open(f"/tmp/serve_bench_server_{port}.log", "wb")
     proc = subprocess.Popen(
         cmd, env=env, cwd=REPO,
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdout=slog, stderr=subprocess.STDOUT,
         start_new_session=True,
     )
     deadline = time.time() + args.startup_timeout
@@ -90,6 +91,8 @@ def start_server(args, port: int) -> subprocess.Popen:
         if proc.poll() is not None:
             raise RuntimeError(f"server exited early rc={proc.returncode}")
         time.sleep(0.25)
+    # don't leak the subprocess on health timeout
+    os.killpg(proc.pid, signal.SIGTERM)
     raise RuntimeError("server did not become healthy in time")
 
 
