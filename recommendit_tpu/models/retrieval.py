@@ -57,10 +57,11 @@ class MIPSIndex:
                 f"unsupported index mode: {mode!r} "
                 "(exact | verified | approx | fused)"
             )
-        if dtype == "int8" and mode in ("verified", "fused"):
+        if dtype == "int8" and mode == "verified":
             raise ValueError(
-                f"mode={mode!r} is not available for the int8 corpus path "
-                "(use exact or approx)"
+                "mode='verified' is not available for the int8 corpus "
+                "path (the exactness certificate is defined on f32 "
+                "scores; use exact, approx or fused)"
             )
         self.embedding_dim = embedding_dim
         self.block_size = block_size
@@ -115,6 +116,13 @@ class MIPSIndex:
                 jnp.asarray(embs),
                 jax.random.PRNGKey(self.quant_seed),
             )
+            if self.mode == "fused":
+                # block-pad the QUANTIZED corpus (zero rows, zero scales)
+                # so the int8 window kernel never re-pads per call
+                pad = (-self._embs.shape[0]) % self.block_size
+                if pad:
+                    self._embs = jnp.pad(self._embs, ((0, pad), (0, 0)))
+                    self._scales = jnp.pad(self._scales, (0, pad))
         else:
             dev_dtype = (
                 jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
@@ -187,6 +195,17 @@ class MIPSIndex:
         of item ids (the fused serve fn gathers ids itself)."""
         queries = self._augment(queries)
         if self.dtype == "int8":
+            if self.mode == "fused":
+                import jax
+
+                from recommendit_tpu.ops.pallas_mips import (
+                    mips_topk_fused_auto,
+                )
+
+                interpret = jax.devices()[0].platform != "tpu"
+                return mips_topk_fused_auto(
+                    queries, self._embs, k, self.block_size, interpret,
+                    "default", self.n_total, self._scales)
             from recommendit_tpu.ops.topk import mips_topk_int8
 
             return mips_topk_int8(queries, self._embs, self._scales, k,
@@ -218,6 +237,18 @@ class MIPSIndex:
         aug = self._augment
 
         if dtype == "int8":
+            if mode == "fused":
+                import jax
+
+                from recommendit_tpu.ops.pallas_mips import (
+                    mips_topk_fused_auto,
+                )
+
+                interpret = jax.devices()[0].platform != "tpu"
+                n_valid = self.n_total
+                return lambda q: mips_topk_fused_auto(
+                    aug(q), embs, k, block, interpret, "default",
+                    n_valid, scales)
             from recommendit_tpu.ops.topk import mips_topk_int8
 
             return lambda q: mips_topk_int8(aug(q), embs, scales, k, block,

@@ -465,6 +465,131 @@ def mips_topk_window_im(
     return vals, idx
 
 
+def _window_kernel_im_i8(q_ref, items_ref, scales_ref, vals_ref, arg_ref,
+                         *, window: int, n_windows: int, n_queries: int,
+                         block_items: int, n_valid: int, masked: bool):
+    """Items-major window kernel over an int8 corpus: int8 x int8 -> int32
+    on the MXU (2x bf16 MXU throughput, half the bf16 HBM stream), per-ITEM
+    dequant scales applied to the (BN, Q) score block in VMEM. Per-QUERY
+    scales are strictly positive and uniform along each score row, so they
+    cannot change any max/argmax — the wrapper applies them to the final
+    (Q, k) values instead (fuse-the-epilogue, ROADMAP #4 stretch)."""
+    it8 = items_ref[:]                       # (BN, D) int8
+    q8 = q_ref[:]                            # (Q, D) int8
+    raw = jax.lax.dot_general(
+        it8, q8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                        # (BN, Q) int32
+    scores = raw.astype(jnp.float32) * scales_ref[:]   # (BN,1) broadcast
+    if masked:
+        row_global = pl.program_id(0) * block_items + \
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(row_global < n_valid, scores, -3e38)
+    s3 = scores.reshape(n_windows, window, n_queries)
+    smax = jnp.max(s3, axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    arg = jnp.min(
+        jnp.where(s3 >= smax[:, None, :], row, window), axis=1
+    )
+    vals_ref[:] = smax
+    arg_ref[:] = arg
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def mips_topk_window_im_int8(
+    queries: jnp.ndarray,
+    items_i8: jnp.ndarray,
+    item_scales: jnp.ndarray,
+    k: int,
+    block_items: int = 2048,
+    window: int = 64,
+    interpret: bool = False,
+    n_valid: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Int8-corpus window-segment fused MIPS top-k.
+
+    Same window/recall semantics as :func:`mips_topk_window_im`; the
+    corpus streams at 1 byte/coordinate (quarter of f32, half of bf16)
+    and the matmul runs int8 on the MXU. Queries are quantized per-row
+    on the fly (same scheme as ``ops.topk.mips_topk_int8``); the scores
+    the kernel ranks are the int8 x int8 scores, so results are
+    element-consistent with the XLA int8 paths.
+
+    Args:
+        item_scales: (N,) f32 per-row dequant scales (stochastic-rounding
+            quantization upstream, ``ops.quantize``). Padded rows (when
+            the caller pre-pads to a block multiple) carry scale 0.
+    """
+    from recommendit_tpu.ops.topk import _quantize_queries
+
+    q, d = queries.shape
+    n = items_i8.shape[0]
+    if item_scales.shape[0] != n:
+        raise ValueError("item_scales length mismatch")
+    if n_valid is None:
+        n_valid = n
+    elif not (0 < n_valid <= n):
+        raise ValueError(f"n_valid={n_valid} out of range for N={n}")
+    if k > n_valid:
+        raise ValueError(f"k={k} exceeds corpus size {n_valid}")
+    if block_items % window:
+        raise ValueError("block_items must be a multiple of window")
+    bn = min(block_items, -(-n // window) * window)
+    n_blocks = -(-n // bn)
+    pad = n_blocks * bn - n
+    if pad:
+        items_i8 = jnp.pad(items_i8, ((0, pad), (0, 0)))
+        item_scales = jnp.pad(item_scales, (0, pad))
+    win_per_block = bn // window
+    n_cand = n_blocks * win_per_block
+    n_valid_cand = -(-n_valid // window)
+    if k > n_valid_cand:
+        raise ValueError(
+            f"k={k} exceeds valid candidate count {n_valid_cand} "
+            f"(n_valid={n_valid}, window={window}); lower `window`"
+        )
+
+    q_i8, q_scale = _quantize_queries(queries.astype(jnp.float32))
+    scales_col = item_scales.astype(jnp.float32)[:, None]   # (N, 1)
+
+    kernel = functools.partial(
+        _window_kernel_im_i8,
+        window=window,
+        n_windows=win_per_block,
+        n_queries=q,
+        block_items=bn,
+        n_valid=n_valid,
+        masked=n_valid < n_blocks * bn,
+    )
+    cand_vals, cand_arg = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((win_per_block, q), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win_per_block, q), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cand, q), jnp.float32),
+            jax.ShapeDtypeStruct((n_cand, q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_i8, items_i8, scales_col)
+
+    vals, sel = fast_topk(cand_vals.T, k)
+    idx = sel * window + jnp.take_along_axis(cand_arg.T, sel, axis=1)
+    # per-query scale is uniform and positive along the row: restore AFTER
+    # selection (cannot change any ordering)
+    return vals * q_scale[:, None], idx
+
+
 def mips_topk_fused_auto(
     queries: jnp.ndarray,
     item_embs: jnp.ndarray,
@@ -473,10 +598,15 @@ def mips_topk_fused_auto(
     interpret: bool = False,
     precision: str = "default",
     n_valid: int | None = None,
+    scales: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Production entry for large-corpus retrieval: routes each (batch,
     corpus) shape to the fastest engine — measured, not modeled
-    (fused_decomp_q{256,1024}.json, tail_probe_q256.json, round 5):
+    (fused_decomp_q{256,1024}.json, tail_probe_q256.json, round 5).
+    With ``scales`` (int8 corpus + per-row dequant scales) the same
+    routing applies over the int8 engines: `mips_topk_window_im_int8`
+    (kernel) / `mips_topk_int8` approx (scan) / int8 exact (tiny).
+    Engine map:
 
     * q >= _KERNEL_MIN_Q: the Pallas window kernel. At 1M x 128 q=1024
       it measures 187k QPS (dec. million, masked tail; 225k at 2^20) vs
@@ -498,8 +628,11 @@ def mips_topk_fused_auto(
     q_batch = queries.shape[0]
     if q_batch < _KERNEL_MIN_Q and n > 65536 and not interpret:
         # interpret=True pins the kernel path (CPU tests exercise it)
-        from recommendit_tpu.ops.topk import mips_topk
+        from recommendit_tpu.ops.topk import mips_topk, mips_topk_int8
 
+        if scales is not None:
+            return mips_topk_int8(queries, item_embs, scales, k, 65536,
+                                  "approx", False, n_valid)
         return mips_topk(queries, item_embs, k, 65536, "approx",
                          False, n_valid)
     # Size the window so the tail reduce sees ~16k candidates regardless
@@ -522,12 +655,18 @@ def mips_topk_fused_auto(
     while window > 1 and n // window < max(k, 4 * window):
         window //= 2
     if window < 8:
-        from recommendit_tpu.ops.topk import mips_topk
+        from recommendit_tpu.ops.topk import mips_topk, mips_topk_int8
 
+        if scales is not None:
+            return mips_topk_int8(queries, item_embs[:n], scales[:n], k,
+                                  block_items, "exact")
         return mips_topk(queries[:, :], item_embs[:n].astype(jnp.float32),
                          k, block_items, "exact")
     bn = max(window, block_items - block_items % window)
     if bn % window:
         bn = window * max(1, bn // window)
+    if scales is not None:
+        return mips_topk_window_im_int8(queries, item_embs, scales, k,
+                                        bn, window, interpret, n_valid)
     return mips_topk_window_im(queries, item_embs, k, bn, window,
                                interpret, precision, n_valid)

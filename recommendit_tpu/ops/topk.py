@@ -667,7 +667,7 @@ def _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k):
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def mips_topk_int8(
     queries: jnp.ndarray,       # (Q, D) f32
     items_i8: jnp.ndarray,      # (N, D) int8 (per-row symmetric quant)
@@ -676,6 +676,7 @@ def mips_topk_int8(
     block_size: int = 4096,
     mode: str = "exact",
     canonical: bool = False,
+    n_valid: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over an int8-quantized corpus.
 
@@ -691,12 +692,18 @@ def mips_topk_int8(
     """
     q, d = queries.shape
     n = items_i8.shape[0]
-    if k > n:
-        raise ValueError(f"k={k} exceeds corpus size {n}")
+    if n_valid is not None and not (0 < n_valid <= n):
+        raise ValueError(f"n_valid={n_valid} out of range for N={n}")
+    if k > (n if n_valid is None else n_valid):
+        raise ValueError(f"k={k} exceeds corpus size {n_valid or n}")
 
     q_i8, q_scale = _quantize_queries(queries)
 
     if mode != "approx":
+        if n_valid is not None and n_valid < n:
+            # exact path: score the real rows only (static slice)
+            items_i8 = items_i8[:n_valid]
+            item_scales = item_scales[:n_valid]
         vals, idx = _exact_topk_int8(q_i8, q_scale, items_i8, item_scales, k)
         return canonical_tie_order(vals, idx) if canonical else (vals, idx)
 
@@ -714,7 +721,9 @@ def mips_topk_int8(
         s_blk = jax.lax.dynamic_slice(scales, (start,), (bs,))
         scores = _score_int8(q_i8, q_scale, block, s_blk)
         cols = start + jnp.arange(bs, dtype=jnp.int32)
-        scores = jnp.where(cols[None, :] < n, scores, -jnp.inf)
+        scores = jnp.where(
+            cols[None, :] < (n if n_valid is None else n_valid),
+            scores, -jnp.inf)
         bvals, bsel = fast_topk(scores, block_k, 0.95)
         bidx = cols[bsel]
         cand_vals = jnp.concatenate([vals, bvals], axis=1)

@@ -20,7 +20,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", required=True,
-                    choices=["window", "window_im", "fold"])
+                    choices=["window", "window_im", "window_im_int8",
+                             "fold"])
     ap.add_argument("--n", type=int, required=True)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--q", type=int, default=256)
@@ -55,6 +56,15 @@ def main():
     elif args.variant == "window":
         fn = lambda qq, it: pm.mips_topk_window(
             qq, it, args.k, args.block, args.window, False, args.precision)
+    elif args.variant == "window_im_int8":
+        from recommendit_tpu.ops.quantize import quantize_int8_jnp
+
+        items_i8, scales = quantize_int8_jnp(
+            items.astype(jnp.float32), jax.random.PRNGKey(0))
+        jax.block_until_ready((items_i8, scales))
+        items = items_i8  # timed HBM stream is the int8 matrix
+        fn = lambda qq, it: pm.mips_topk_window_im_int8(
+            qq, it, scales, args.k, args.block, args.window, False)
     else:
         fn = lambda qq, it: pm.mips_topk_window_im(
             qq, it, args.k, args.block, args.window, False, args.precision)
@@ -68,7 +78,17 @@ def main():
     # value must be the true score of its index, and the top-1 must be
     # the global argmax (survives any window size)
     qs = np.asarray(q0)[:4]
-    scores_ref = qs @ np.asarray(items, np.float32).T
+    if args.variant == "window_im_int8":
+        # reference = the int8-score definition the kernel ranks
+        from recommendit_tpu.ops.topk import _quantize_queries
+
+        q8, qsc = _quantize_queries(jnp.asarray(qs))
+        scores_ref = (
+            np.asarray(q8, np.float32) @ np.asarray(items, np.float32).T
+            * np.asarray(qsc)[:, None] * np.asarray(scales)[None, :]
+        )
+    else:
+        scores_ref = qs @ np.asarray(items, np.float32).T
     got = np.take_along_axis(scores_ref, np.asarray(i)[:4], axis=1)
     # default precision scores with single-pass bf16 MXU (like the XLA
     # approx path) → compare at bf16-grade tolerance; "highest" is true f32

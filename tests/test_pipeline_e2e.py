@@ -336,8 +336,9 @@ class TestIndexModePlumbing:
 
         with pytest.raises(ValueError, match="mode"):
             MIPSIndex(mode="ivf")
-        with pytest.raises(ValueError, match="int8"):
-            MIPSIndex(mode="fused", dtype="int8")
+        with pytest.raises(ValueError, match="verified"):
+            MIPSIndex(mode="verified", dtype="int8")
+        MIPSIndex(mode="fused", dtype="int8")  # valid since round 5
 
     def test_fused_index_saves_reloads_and_searches(self, fused_index_path):
         from recommendit_tpu.models.retrieval import MIPSIndex
