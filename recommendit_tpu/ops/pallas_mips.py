@@ -630,11 +630,17 @@ def mips_topk_fused_auto(
         # interpret=True pins the kernel path (CPU tests exercise it)
         from recommendit_tpu.ops.topk import mips_topk, mips_topk_int8
 
+        # Pre-padded corpora: SLICE to the valid rows (static bound, free
+        # — measured 2.31 ms at 1M x 128 b256) instead of passing an
+        # n_valid tail mask: the -inf update-slice between the dot and
+        # approx_max_k breaks their fusion and re-materializes the 1 GB
+        # score matrix (measured 5.30 ms vs 2.48 unpadded — the round-5
+        # driver bench's 49k-QPS b256 regression).
+        items_v = item_embs[:n] if n < item_embs.shape[0] else item_embs
         if scales is not None:
-            return mips_topk_int8(queries, item_embs, scales, k, 65536,
-                                  "approx", False, n_valid)
-        return mips_topk(queries, item_embs, k, 65536, "approx",
-                         False, n_valid)
+            return mips_topk_int8(queries, items_v, scales[:n], k, 65536,
+                                  "approx")
+        return mips_topk(queries, items_v, k, 65536, "approx")
     # Size the window so the tail reduce sees ~16k candidates regardless
     # of corpus size: the tail's PartialReduce cost scales with N/window,
     # and at fixed window=64 a 10M corpus left 156k candidates per query
