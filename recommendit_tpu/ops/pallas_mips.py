@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from recommendit_tpu.ops.topk import fast_topk
+from recommendit_tpu.ops.topk import _chunked_exact_reduce, fast_topk
 
 
 def _fold_kernel(q_ref, items_ref, vals_ref, off_ref, *, block_items: int,
@@ -201,9 +201,11 @@ _LANE = 128
 # Batch threshold for the fused_auto engine routing: below this the XLA
 # approx scan wins (the kernel's exact tail over ~16k window maxima is
 # flat ~1.7 ms and dominates small batches); at/above it the kernel's
-# score-materialization saving wins. Measured crossover is between 256
-# (kernel 0.85x the scan) and 1024 (kernel 1.76x) at 1M x 128, k=500.
-_KERNEL_MIN_Q = 512
+# score-materialization saving wins. Measured at 1M x 128 k=500 (round
+# 5): q=256 scan 111k vs kernel 103k; q=384 kernel 127k vs scan 123k;
+# q=512 kernel 143k vs 141k; q=768 kernel 169k vs 23k (the scan falls
+# off its dense-path score-memory budget there and degrades 6x).
+_KERNEL_MIN_Q = 384
 
 # "default" = single-pass bf16-grade MXU (the approx production setting,
 # same as the XLA approx path); "highest" = multi-pass true-f32 (pin when
@@ -349,7 +351,7 @@ def mips_topk_window(
     )(queries, items)
 
     # candidate column c IS global window id c: index = c*W + argmax
-    vals, sel = fast_topk(cand_vals, k)
+    vals, sel = _chunked_exact_reduce(cand_vals, k)
     idx = sel * window + jnp.take_along_axis(cand_arg, sel, axis=1)
     return vals, idx
 
@@ -460,7 +462,7 @@ def mips_topk_window_im(
     )(queries, items)
 
     # row r IS global window id r: index = r*W + argmax
-    vals, sel = fast_topk(cand_vals.T, k)
+    vals, sel = _chunked_exact_reduce(cand_vals.T, k)
     idx = sel * window + jnp.take_along_axis(cand_arg.T, sel, axis=1)
     return vals, idx
 
@@ -470,10 +472,15 @@ def _window_kernel_im_i8(q_ref, items_ref, scales_ref, vals_ref, arg_ref,
                          block_items: int, n_valid: int, masked: bool):
     """Items-major window kernel over an int8 corpus: int8 x int8 -> int32
     on the MXU (2x bf16 MXU throughput, half the bf16 HBM stream), per-ITEM
-    dequant scales applied to the (BN, Q) score block in VMEM. Per-QUERY
-    scales are strictly positive and uniform along each score row, so they
-    cannot change any max/argmax — the wrapper applies them to the final
-    (Q, k) values instead (fuse-the-epilogue, ROADMAP #4 stretch)."""
+    dequant scales applied in VMEM. Per-QUERY scales are strictly positive
+    and uniform along each score row, so they cannot change any
+    max/argmax — the wrapper applies them to the final (Q, k) values
+    instead (fuse-the-epilogue, ROADMAP #4 stretch).
+
+    ``scales_ref`` is laid out (n_windows, window) — a (N, 1) column
+    would tile-pad its lane dim 128x in HBM (14 GiB at 30M rows, found
+    by the round-5 capacity run); the window-major layout is exact-fit
+    and multiplies the (n_windows, window, Q) score view directly."""
     it8 = items_ref[:]                       # (BN, D) int8
     q8 = q_ref[:]                            # (Q, D) int8
     raw = jax.lax.dot_general(
@@ -481,12 +488,17 @@ def _window_kernel_im_i8(q_ref, items_ref, scales_ref, vals_ref, arg_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                        # (BN, Q) int32
-    scores = raw.astype(jnp.float32) * scales_ref[:]   # (BN,1) broadcast
+    s3 = raw.astype(jnp.float32).reshape(n_windows, window, n_queries)
+    s3 = s3 * scales_ref[:][:, :, None]
     if masked:
-        row_global = pl.program_id(0) * block_items + \
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        scores = jnp.where(row_global < n_valid, scores, -3e38)
-    s3 = scores.reshape(n_windows, window, n_queries)
+        # mask AFTER scaling: pad rows carry scale 0, and -3e38 * 0 = -0
+        # would otherwise beat every negative real score
+        row_global = (
+            pl.program_id(0) * block_items
+            + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 0) * window
+            + jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+        )
+        s3 = jnp.where(row_global < n_valid, s3, -3e38)
     smax = jnp.max(s3, axis=1)
     row = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
     arg = jnp.min(
@@ -551,7 +563,9 @@ def mips_topk_window_im_int8(
         )
 
     q_i8, q_scale = _quantize_queries(queries.astype(jnp.float32))
-    scales_col = item_scales.astype(jnp.float32)[:, None]   # (N, 1)
+    # window-major scales layout: exact-fit HBM tiling (a (N, 1) column
+    # pads its lane dim 128x — see _window_kernel_im_i8)
+    scales_mat = item_scales.astype(jnp.float32).reshape(-1, window)
 
     kernel = functools.partial(
         _window_kernel_im_i8,
@@ -568,7 +582,8 @@ def mips_topk_window_im_int8(
         in_specs=[
             pl.BlockSpec((q, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win_per_block, window), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((win_per_block, q), lambda j: (j, 0),
@@ -581,9 +596,9 @@ def mips_topk_window_im_int8(
             jax.ShapeDtypeStruct((n_cand, q), jnp.int32),
         ],
         interpret=interpret,
-    )(q_i8, items_i8, scales_col)
+    )(q_i8, items_i8, scales_mat)
 
-    vals, sel = fast_topk(cand_vals.T, k)
+    vals, sel = _chunked_exact_reduce(cand_vals.T, k)
     idx = sel * window + jnp.take_along_axis(cand_arg.T, sel, axis=1)
     # per-query scale is uniform and positive along the row: restore AFTER
     # selection (cannot change any ordering)
